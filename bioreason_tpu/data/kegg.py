@@ -1,0 +1,149 @@
+"""KEGG disease-pathway dataset layer (reference: bioreason/dataset/kegg.py).
+
+`KEGGDataset` loads one JSON file per variant from a directory and normalizes
+fields exactly like the reference (:41-71): answer lower-cased/stripped,
+reasoning steps joined with newlines, sequences upper-cased/stripped.
+
+`format_kegg_for_dna_llm` / `format_kegg_for_llm` produce the chat-message
+examples (reference :164-220): two DNA content parts (ref + variant) followed
+by the question; the assistant turn carries the reasoning trace in
+`reasoning_content` and `Answer: {answer}` as content. The LLM-only variant
+pastes the raw sequences into the question text and sends empty DNA strings.
+
+`synthetic_kegg_items` generates a deterministic KEGG-shaped corpus for
+tests/benches (no network access in this environment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Any, Dict, List
+
+
+class KEGGDataset:
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+        self.data: List[Dict[str, Any]] = []
+        for filename in sorted(f for f in os.listdir(data_dir) if f.endswith(".json")):
+            with open(os.path.join(data_dir, filename), encoding="utf-8") as f:
+                item = json.load(f)
+            item["kegg_id"] = filename.split("_")[1] if "_" in filename else filename
+            self.data.append(process_kegg_item(item))
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+
+def process_kegg_item(item: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "question": item.get("question", ""),
+        "answer": item.get("answer", "").lower().strip(),
+        "reasoning": "\n".join(item.get("reasoning", {}).get("reasoning_steps", [])),
+        "reference_sequence": item.get("reference_sequence", "").upper().strip(),
+        "variant_sequence": item.get("variant_sequence", "").upper().strip(),
+    }
+
+
+def get_format_kegg_function(model_name: str):
+    if model_name.lower() == "llm":
+        return format_kegg_for_llm
+    if model_name.lower() == "dna-llm":
+        return format_kegg_for_dna_llm
+    raise ValueError(f"Unsupported model name: {model_name}")
+
+
+def format_kegg_for_dna_llm(example: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "prompt": [
+            {
+                "role": "user",
+                "content": [
+                    *({"type": "dna", "text": None} for _ in range(2)),
+                    {"type": "text", "text": example["question"].strip()},
+                ],
+            },
+            {
+                "role": "assistant",
+                "reasoning_content": example["reasoning"].strip(),
+                "content": [{"type": "text", "text": f"Answer: {example['answer'].strip()}"}],
+            },
+        ],
+        "dna_sequences": [example["reference_sequence"], example["variant_sequence"]],
+        "answer": example["answer"],
+    }
+
+
+def format_kegg_for_llm(example: Dict[str, Any]) -> Dict[str, Any]:
+    question = (f"Reference sequence: {example['reference_sequence']}\n"
+                f"Variant sequence: {example['variant_sequence']}\n"
+                f"Question: {example['question']}")
+    return {
+        "prompt": [
+            {
+                "role": "user",
+                "content": [
+                    *({"type": "dna", "text": None} for _ in range(2)),
+                    {"type": "text", "text": question.strip()},
+                ],
+            },
+            {
+                "role": "assistant",
+                "reasoning_content": example["reasoning"].strip(),
+                "content": [{"type": "text", "text": f"Answer: {example['answer'].strip()}"}],
+            },
+        ],
+        "dna_sequences": ["", ""],
+        "answer": example["answer"],
+    }
+
+
+def format_kegg_prompt_only(example: Dict[str, Any]) -> Dict[str, Any]:
+    """GRPO prompt-only mapping (reference reason.py:128-148)."""
+    return {
+        "prompt": [
+            {
+                "role": "user",
+                "content": [
+                    *({"type": "dna", "text": None} for _ in range(2)),
+                    {"type": "text", "text": example["question"]},
+                ],
+            },
+        ],
+        "dna_sequences": [example["reference_sequence"], example["variant_sequence"]],
+        "answer": example["answer"],
+    }
+
+
+_PATHWAYS = [
+    "mapk signaling pathway", "p53 signaling pathway", "wnt signaling pathway",
+    "apoptosis", "cell cycle", "dna repair", "notch signaling pathway",
+    "hedgehog signaling pathway",
+]
+
+
+def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0) -> List[Dict[str, Any]]:
+    """Deterministic KEGG-shaped items for tests and benchmarks."""
+    rng = random.Random(seed)
+    items = []
+    for i in range(n):
+        ref = "".join(rng.choice("ACGT") for _ in range(seq_len))
+        pos = rng.randrange(seq_len)
+        alt_base = rng.choice([b for b in "ACGT" if b != ref[pos]])
+        var = ref[:pos] + alt_base + ref[pos + 1:]
+        answer = rng.choice(_PATHWAYS)
+        items.append({
+            "question": ("Given the reference and variant DNA sequences, which KEGG "
+                         "pathway is most likely disrupted by this variant?"),
+            "answer": answer,
+            "reasoning": (f"The variant at position {pos} changes {ref[pos]} to {alt_base}.\n"
+                          f"This affects a regulatory region linked to the {answer}.\n"
+                          f"Therefore the most likely disrupted pathway is the {answer}."),
+            "reference_sequence": ref,
+            "variant_sequence": var,
+        })
+    return items

@@ -1,0 +1,111 @@
+import numpy as np
+
+from bioreason_tpu.data.nt_tokenizer import KmerTokenizer
+from bioreason_tpu.data.char_tokenizer import CharDNATokenizer
+from bioreason_tpu.data.text_tokenizer import ByteTextTokenizer
+from bioreason_tpu.data.processor import BioProcessor
+from bioreason_tpu.data.collate import sft_collate, classifier_collate, IGNORE_INDEX
+from bioreason_tpu.data.kegg import format_kegg_for_dna_llm, synthetic_kegg_items
+from bioreason_tpu.data.utils import truncate_dna, split_dataset
+
+
+def make_processor():
+    return BioProcessor(ByteTextTokenizer(), KmerTokenizer())
+
+
+class TestProcessor:
+    def test_dna_pad_expansion_matches_nonpad_counts(self):
+        p = make_processor()
+        text = ["<|dna_start|><|dna_pad|><|dna_end|><|dna_start|><|dna_pad|><|dna_end|>question"]
+        dna = [["ACGTACGTACGT", "ACGTAC"]]  # 2+1 tokens, 1+1 with CLS -> 3 and 2
+        out = p(text=text, batch_dna_sequences=dna, max_length_text=64, max_length_dna=32)
+        n_pads = int((out.input_ids == p.text_tokenizer.dna_pad_id).sum())
+        n_dna = int((out.dna_input_ids != p.dna_tokenizer.pad_id).sum())
+        assert n_pads == n_dna == 3 + 2  # includes CLS tokens, like the reference
+
+    def test_batch_idx_map_flattening(self):
+        p = make_processor()
+        text = ["<|dna_pad|>a", "<|dna_pad|><|dna_pad|>b"]
+        dna = [["ACGTAC"], ["ACGTAC", "ACGTACGTACGT"]]
+        out = p(text=text, batch_dna_sequences=dna, max_length_text=64, max_length_dna=32)
+        assert out.batch_idx_map == [0, 1, 1]
+        assert out.dna_input_ids.shape[0] == 3
+
+    def test_left_padding_text(self):
+        p = make_processor()
+        out = p(text=["aa", "aaaa"], batch_dna_sequences=None, max_length_text=32, max_length_dna=0)
+        assert out.attention_mask[0].tolist()[:2] == [0, 0]
+
+    def test_expansion_per_item_consumes_in_order(self):
+        p = make_processor()
+        # two items, one sequence each with different lengths
+        text = ["<|dna_pad|>x", "<|dna_pad|>y"]
+        dna = [["ACGTACGTACGT"], ["ACGTAC"]]
+        out = p(text=text, batch_dna_sequences=dna, max_length_text=64, max_length_dna=32)
+        per_row = (out.input_ids == p.text_tokenizer.dna_pad_id).sum(axis=1)
+        assert per_row.tolist() == [3, 2]
+
+
+class TestSFTCollate:
+    def test_labels_cover_assistant_only(self):
+        p = make_processor()
+        items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(2, seq_len=24)]
+        batch = sft_collate(items, p, max_length_text=512, max_length_dna=64)
+        tok = p.text_tokenizer
+        for i in range(2):
+            ids, labels = batch["input_ids"][i], batch["labels"][i]
+            sup = labels != IGNORE_INDEX
+            assert sup.any()
+            text = tok.decode(ids[sup], skip_special_tokens=False)
+            assert text.startswith("<think>")
+            assert "Answer:" in text
+            # user-side tokens (dna pads, question) are not supervised
+            assert not np.any(ids[sup] == tok.dna_pad_id)
+        # supervised tokens equal the input ids there
+        sup = batch["labels"] != IGNORE_INDEX
+        assert np.array_equal(batch["labels"][sup], batch["input_ids"][sup])
+
+    def test_pads_are_ignored(self):
+        p = make_processor()
+        items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(2, seq_len=24, seed=3)]
+        batch = sft_collate(items, p, max_length_text=512, max_length_dna=64)
+        pad_positions = batch["input_ids"] == p.text_tokenizer.pad_token_id
+        assert np.all(batch["labels"][pad_positions] == IGNORE_INDEX)
+
+    def test_bucketing_rounds_widths(self):
+        p = make_processor()
+        items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(2, seq_len=24, seed=1)]
+        batch = sft_collate(items, p, max_length_text=512, max_length_dna=64, bucket=128)
+        assert batch["input_ids"].shape[1] % 128 == 0
+        assert batch["dna_input_ids"].shape[1] % 128 == 0
+        # splice invariant survives bucketing
+        n_pads = int((batch["input_ids"] == p.text_tokenizer.dna_pad_id).sum())
+        n_dna = int((batch["dna_input_ids"] != p.dna_tokenizer.pad_id).sum())
+        assert n_pads == n_dna
+
+
+class TestClassifierCollate:
+    def test_shapes_and_labels(self):
+        items = synthetic_kegg_items(4, seq_len=32, seed=2)
+        labels = sorted({it["answer"] for it in items})
+        label2id = {l: i for i, l in enumerate(labels)}
+        batch = classifier_collate(items, KmerTokenizer(), label2id, max_length=64)
+        assert batch["ref_ids"].shape == batch["alt_ids"].shape
+        assert batch["labels"].shape == (4,)
+        assert batch["labels"].max() < len(labels)
+
+
+class TestDatasetUtils:
+    def test_truncate_dna(self):
+        ex = {"reference_sequence": "A" * 100, "variant_sequence": "C" * 20}
+        out = truncate_dna(dict(ex), truncate_dna_per_side=10)
+        assert len(out["reference_sequence"]) == 80
+        assert out["variant_sequence"] == "C" * 20  # too short -> untouched
+
+    def test_split_ratios_and_determinism(self):
+        items = list(range(100))
+        tr, va, te = split_dataset(items, seed=42)
+        assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+        tr2, _, _ = split_dataset(items, seed=42)
+        assert tr == tr2
+        assert sorted(tr + va + te) == items
