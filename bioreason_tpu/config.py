@@ -1,0 +1,219 @@
+"""Configuration tree for bioreason_tpu.
+
+One dataclass config system replaces the reference's three styles (argparse,
+TRL dataclasses+YAML, DeepSpeed JSON — SURVEY §5 'Config / flag system').
+
+Presets mirror the reference model zoo:
+  * Qwen3 0.6B/1.7B/4B decoder configs (reference text tower,
+    dna_llm.py:64-70)
+  * NT-v2 50M/250M/500M encoder configs (reference DNA tower,
+    dna_llm.py:79-83)
+  * Evo2-1B StripedHyena-style hybrid config (dna_llm.py:86-90)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Qwen3-style causal LLM tower."""
+    vocab_size: int = 300            # ByteTextTokenizer default; Qwen3 real: 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_layers: int = 28
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 40960
+    attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
+    remat: bool = True
+    dtype: str = "bfloat16"          # compute dtype; params kept fp32
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 300) -> "DecoderConfig":
+        return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+                   num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                   remat=False, attention_impl="xla")
+
+    @classmethod
+    def qwen3_0_6b(cls, vocab_size: int = 151936) -> "DecoderConfig":
+        return cls(vocab_size=vocab_size, hidden_size=1024, intermediate_size=3072,
+                   num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128)
+
+    @classmethod
+    def qwen3_1_7b(cls, vocab_size: int = 151936) -> "DecoderConfig":
+        return cls(vocab_size=vocab_size, hidden_size=2048, intermediate_size=6144,
+                   num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128)
+
+    @classmethod
+    def qwen3_4b(cls, vocab_size: int = 151936) -> "DecoderConfig":
+        return cls(vocab_size=vocab_size, hidden_size=2560, intermediate_size=9728,
+                   num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """NT-v2-style bidirectional DNA encoder (ESM architecture family)."""
+    vocab_size: int = 4107           # KmerTokenizer default vocab
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    rope_theta: float = 10_000.0
+    norm_eps: float = 1e-12
+    use_swiglu: bool = True          # NT-v2 uses SwiGLU
+    attention_impl: str = "auto"
+    remat: bool = True
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 4107) -> "EncoderConfig":
+        return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+                   num_layers=2, num_heads=4, remat=False, attention_impl="xla")
+
+    @classmethod
+    def nt_v2_50m(cls) -> "EncoderConfig":
+        return cls(hidden_size=512, intermediate_size=2048, num_layers=22, num_heads=16)
+
+    @classmethod
+    def nt_v2_250m(cls) -> "EncoderConfig":
+        return cls(hidden_size=768, intermediate_size=3072, num_layers=29, num_heads=12)
+
+    @classmethod
+    def nt_v2_500m(cls) -> "EncoderConfig":
+        return cls(hidden_size=1024, intermediate_size=4096, num_layers=29, num_heads=16)
+
+
+@dataclass(frozen=True)
+class HyenaConfig:
+    """Evo2/StripedHyena-style hybrid DNA encoder (models/evo2.py)."""
+    vocab_size: int = 512
+    hidden_size: int = 1920
+    intermediate_size: int = 5120
+    num_layers: int = 25
+    num_heads: int = 15
+    short_filter_len: int = 3
+    medium_filter_len: int = 128
+    attn_every: int = 7              # attention block every Nth layer (striped pattern)
+    rope_theta: float = 10_000.0
+    norm_eps: float = 1e-6
+    attention_impl: str = "auto"
+    remat: bool = True
+    dtype: str = "bfloat16"
+    embedding_tap_layer: int = -1    # named-layer embedding tap (dna_llm.py:127-146)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls) -> "HyenaConfig":
+        return cls(hidden_size=64, intermediate_size=128, num_layers=3, num_heads=4,
+                   attn_every=2, remat=False, attention_impl="xla")
+
+    @classmethod
+    def evo2_1b(cls) -> "HyenaConfig":
+        return cls(hidden_size=1920, intermediate_size=5120, num_layers=25, num_heads=15)
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """DNA-LLM fusion model (reference DNALLMModel, dna_llm.py:18-101)."""
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    dna_pad_token_id: int = 260       # ByteTextTokenizer's <|dna_pad|>
+    max_length_dna: int = 2048
+    max_length_text: int = 512
+    encoder_kind: str = "nt"          # 'nt' | 'evo2'
+    hyena: Optional[HyenaConfig] = None
+
+    @classmethod
+    def tiny(cls, text_vocab: int = 300, dna_pad_token_id: int = 260) -> "FusionConfig":
+        return cls(decoder=DecoderConfig.tiny(text_vocab), encoder=EncoderConfig.tiny(),
+                   dna_pad_token_id=dna_pad_token_id)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes: data (DP/ZeRO), fsdp (param shard), model (TP)."""
+    data: int = -1                   # -1: fill with remaining devices
+    fsdp: int = 1
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    r: int = 32
+    alpha: int = 64
+    dropout: float = 0.05
+    # exclude embeddings, lm_head and the DNA tower (reference
+    # train_dna_qwen.py:103-134, grpo_trainer.py:262-279)
+    exclude_patterns: Tuple[str, ...] = ("embed", "lm_head", "encoder", "dna_projection")
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.01
+    warmup_ratio: float = 0.1        # cosine with 10% warmup (train_dna_qwen.py:393-411)
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    grad_clip: float = 1.0
+    total_steps: int = 1000
+
+
+@dataclass(frozen=True)
+class SFTConfig:
+    batch_size: int = 4
+    max_length_text: int = 512
+    max_length_dna: int = 2048
+    bucket: int = 128
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    lora: Optional[LoRAConfig] = field(default_factory=LoRAConfig)
+    train_projection: bool = True    # projection always trainable (dna_llm quirk list)
+    freeze_encoder: bool = True      # reference de-facto freezes DNA tower
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    temperature: float = 0.6         # grpo_config.py:192-209 / train_dna_qwen.py:284-289
+    top_p: float = 0.95
+    top_k: int = 20
+    max_new_tokens: int = 800
+
+
+@dataclass(frozen=True)
+class GRPOConfig:
+    num_generations: int = 8         # G (grpo_config.py:170)
+    max_completion_length: int = 800
+    num_iterations: int = 1          # mu (grpo_config.py:298)
+    beta: float = 0.04               # KL coeff (grpo_config.py:291)
+    epsilon: float = 0.2             # clip (grpo_config.py:302)
+    epsilon_high: Optional[float] = None  # DAPO asymmetric clip (grpo_config.py:304-312)
+    reward_weights: Optional[Tuple[float, ...]] = None
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    batch_size: int = 8              # prompts*G per step (must be divisible by G)
+    optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=5e-6))
+    lora: Optional[LoRAConfig] = field(default_factory=LoRAConfig)
+    # TR-DPO-style ref sync (grpo_config.py:320-341)
+    sync_ref_model: bool = False
+    ref_model_mixup_alpha: float = 0.6
+    ref_model_sync_steps: int = 512
+    seed: int = 0
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,76 @@
+"""Attention dispatch: Pallas flash kernel on TPU, XLA einsum fallback.
+
+Replaces the reference's flash-attention-2 dependency
+(grpo_trainer.py:220,237 `attn_implementation="flash_attention_2"`) with a
+TPU-native path. `impl='auto'` picks the Pallas kernel on TPU for shapes that
+tile onto the MXU and the XLA path otherwise (tiny test shapes, CPU meshes,
+decode steps with q_len==1 where a fused kernel buys nothing).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return x
+    b, t, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, t, h, n_rep, d)).reshape(b, t, h * n_rep, d)
+
+
+def xla_attention(q, k, v, kv_mask=None, causal=False, q_offset=None,
+                  logits_dtype=jnp.float32):
+    """q: [B,Tq,Hq,D], k/v: [B,Tk,Hkv,D], kv_mask: [B,Tk] (1=valid).
+
+    When `causal`, query i attends to keys j with j <= i + q_offset, where
+    `q_offset` is the absolute position of query 0 among the keys. Defaults
+    to Tk - Tq (right-aligned, the no-cache case); pass the cache write index
+    for prefill-into-cache.
+    """
+    b, tq, hq, d = q.shape
+    tk, hkv = k.shape[1], k.shape[2]
+    k = _repeat_kv(k, hq // hkv)
+    v = _repeat_kv(v, hq // hkv)
+
+    scale = d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=logits_dtype) * scale
+
+    neg = jnp.finfo(logits_dtype).min
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :].astype(bool), logits, neg)
+    if causal:
+        if q_offset is None:
+            q_offset = tk - tq
+        qi = jnp.arange(tq)[:, None] + q_offset
+        kj = jnp.arange(tk)[None, :]
+        logits = jnp.where((kj <= qi)[None, None, :, :], logits, neg)
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def attention(q, k, v, kv_mask=None, causal=False, q_offset=None, impl="auto"):
+    """Multi-head (grouped-query) attention. Shapes as in `xla_attention`."""
+    if impl == "auto":
+        use_pallas = (
+            _on_tpu()
+            and q.shape[1] >= 128          # decode / tiny shapes: XLA is fine
+            and q.shape[-1] in (64, 128, 256)
+        )
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from bioreason_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal, q_offset=q_offset)
+    return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal, q_offset=q_offset)

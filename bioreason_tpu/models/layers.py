@@ -1,0 +1,106 @@
+"""Shared neural-net building blocks (pure-functional, param-pytree style).
+
+Params are plain nested dicts of jnp arrays; every block has an `init_*`
+function returning the param subtree and an apply function taking it. Master
+params stay float32; compute happens in the config dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None):
+    """He/LeCun-style normal init (stddev 1/sqrt(in_dim) unless overridden)."""
+    std = scale if scale is not None else in_dim ** -0.5
+    return {"kernel": jax.random.normal(rng, (in_dim, out_dim), jnp.float32) * std}
+
+
+def dense(params, x, dtype=jnp.bfloat16):
+    return x.astype(dtype) @ params["kernel"].astype(dtype)
+
+
+def embed_init(rng, vocab: int, dim: int, std: float = 0.02):
+    return {"embedding": jax.random.normal(rng, (vocab, dim), jnp.float32) * std}
+
+
+def embed(params, ids, dtype=jnp.bfloat16):
+    return jnp.take(params["embedding"].astype(dtype), ids, axis=0)
+
+
+def rmsnorm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32)}
+
+
+def rmsnorm(params, x, eps: float = 1e-6):
+    """RMSNorm computed in fp32, returned in the input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"]).astype(dtype)
+
+
+def layernorm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layernorm(params, x, eps: float = 1e-12):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(dtype)
+
+
+def swiglu_init(rng, dim: int, hidden: int):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {"gate": dense_init(k1, dim, hidden),
+            "up": dense_init(k2, dim, hidden),
+            "down": dense_init(k3, hidden, dim)}
+
+
+def swiglu(params, x, dtype=jnp.bfloat16):
+    g = dense(params["gate"], x, dtype)
+    u = dense(params["up"], x, dtype)
+    return dense(params["down"], jax.nn.silu(g) * u, dtype)
+
+
+def gelu_mlp_init(rng, dim: int, hidden: int):
+    k1, k2 = jax.random.split(rng)
+    return {"up": dense_init(k1, dim, hidden), "down": dense_init(k2, hidden, dim)}
+
+
+def gelu_mlp(params, x, dtype=jnp.bfloat16):
+    return dense(params["down"], jax.nn.gelu(dense(params["up"], x, dtype)), dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (NeoX rotate-half convention, used by both Qwen3
+# and the NT/ESM rotary variant).
+# ---------------------------------------------------------------------------
+
+def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x: [B, T, n_heads, head_dim]; positions: [B, T] int32."""
+    head_dim = x.shape[-1]
+    freqs = rope_frequencies(head_dim, theta)                       # [hd/2]
+    angles = positions[..., None].astype(jnp.float32) * freqs       # [B, T, hd/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Position ids robust to LEFT padding: cumsum of the mask minus one,
+    clipped at zero (pads get position 0 but are masked out anyway)."""
+    return jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None).astype(jnp.int32)

@@ -1,0 +1,77 @@
+"""NT-v2-style bidirectional DNA encoder (ESM architecture family).
+
+Functional rebuild of the reference DNA tower (HF `AutoModelForMaskedLM` over
+NucleotideTransformer-v2, reference dna_llm.py:79-83). NT-v2 is an ESM-style
+pre-norm transformer with rotary embeddings, SwiGLU MLPs and LayerNorm; the
+fusion model consumes its LAST hidden state (dna_llm.py:156), so the MLM head
+is optional and omitted by default.
+
+Same TPU discipline as the decoder: stacked layers + lax.scan, bidirectional
+attention with a key-padding mask, bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bioreason_tpu.config import EncoderConfig
+from bioreason_tpu.models import layers as L
+from bioreason_tpu.models.attention import attention
+
+
+def init_encoder(rng, cfg: EncoderConfig) -> Dict:
+    k_embed, k_layers = jax.random.split(rng)
+
+    def init_layer(k):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        d = cfg.hidden_size
+        return {
+            "ln1": L.layernorm_init(d),
+            "attn": {
+                "q": L.dense_init(k1, d, d),
+                "k": L.dense_init(k2, d, d),
+                "v": L.dense_init(k3, d, d),
+                "o": L.dense_init(k4, d, d),
+            },
+            "ln2": L.layernorm_init(d),
+            "mlp": (L.swiglu_init(k5, d, cfg.intermediate_size) if cfg.use_swiglu
+                    else L.gelu_mlp_init(k5, d, cfg.intermediate_size)),
+        }
+
+    return {
+        "embed": L.embed_init(k_embed, cfg.vocab_size, cfg.hidden_size),
+        "layers": jax.vmap(init_layer)(jax.random.split(k_layers, cfg.num_layers)),
+        "final_norm": L.layernorm_init(cfg.hidden_size),
+    }
+
+
+def encoder_forward(params: Dict, cfg: EncoderConfig, input_ids: jnp.ndarray,
+                    attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Returns the last hidden state [B, T, H] (in cfg.dtype)."""
+    dtype = jnp.dtype(cfg.dtype)
+    h = L.embed(params["embed"], input_ids, dtype)
+    b, t, _ = h.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), jnp.int32)
+    positions = L.positions_from_mask(attention_mask)
+
+    def body(h, lp):
+        x = L.layernorm(lp["ln1"], h, cfg.norm_eps)
+        q = L.dense(lp["attn"]["q"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = L.dense(lp["attn"]["k"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        v = L.dense(lp["attn"]["v"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        q = L.apply_rope(q, positions, cfg.rope_theta)
+        k = L.apply_rope(k, positions, cfg.rope_theta)
+        a = attention(q, k, v, kv_mask=attention_mask, causal=False, impl=cfg.attention_impl)
+        h = h + L.dense(lp["attn"]["o"], a.reshape(b, t, -1), dtype)
+        x = L.layernorm(lp["ln2"], h, cfg.norm_eps)
+        mlp = L.swiglu if cfg.use_swiglu else L.gelu_mlp
+        h = h + mlp(lp["mlp"], x, dtype)
+        return h, None
+
+    body_fn = jax.checkpoint(body) if cfg.remat else body
+    h, _ = jax.lax.scan(body_fn, h, params["layers"])
+    return L.layernorm(params["final_norm"], h, cfg.norm_eps)

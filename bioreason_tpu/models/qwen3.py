@@ -1,0 +1,182 @@
+"""Qwen3-style causal decoder, TPU-first.
+
+Functional rebuild of the reference text tower (HF `AutoModelForCausalLM`
+Qwen3, reference dna_llm.py:64-70): pre-norm RMSNorm transformer with
+grouped-query attention, per-head q/k RMSNorm before RoPE (Qwen3 signature),
+SwiGLU MLP and tied embeddings.
+
+TPU-first design:
+  * layers are STACKED along a leading axis and executed with `lax.scan`
+    (one trace/compile for all layers; rematerialization per layer via
+    `jax.checkpoint` when cfg.remat);
+  * accepts `inputs_embeds` so the DNA splice can inject embeddings
+    (reference forward path dna_llm.py:237-242);
+  * explicit KV cache (dict of [L,B,S,Hkv,D] arrays) written with
+    `dynamic_update_slice` for the jitted prefill+decode generation engine —
+    the replacement for the reference's HF-generate/vLLM rollout path;
+  * positions derived from the attention mask (left-padding robust).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bioreason_tpu.config import DecoderConfig
+from bioreason_tpu.models import layers as L
+from bioreason_tpu.models.attention import attention
+
+
+def init_decoder(rng, cfg: DecoderConfig) -> Dict:
+    k_embed, k_layers, k_head = jax.random.split(rng, 3)
+
+    def init_layer(k):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        qkv_dim = cfg.num_heads * cfg.head_dim
+        kv_dim = cfg.num_kv_heads * cfg.head_dim
+        return {
+            "ln1": L.rmsnorm_init(cfg.hidden_size),
+            "attn": {
+                "q": L.dense_init(k1, cfg.hidden_size, qkv_dim),
+                "k": L.dense_init(k2, cfg.hidden_size, kv_dim),
+                "v": L.dense_init(k3, cfg.hidden_size, kv_dim),
+                "o": L.dense_init(k4, qkv_dim, cfg.hidden_size),
+                "q_norm": L.rmsnorm_init(cfg.head_dim),
+                "k_norm": L.rmsnorm_init(cfg.head_dim),
+            },
+            "ln2": L.rmsnorm_init(cfg.hidden_size),
+            "mlp": L.swiglu_init(k5, cfg.hidden_size, cfg.intermediate_size),
+        }
+
+    params = {
+        "embed": L.embed_init(k_embed, cfg.vocab_size, cfg.hidden_size),
+        "layers": jax.vmap(init_layer)(jax.random.split(k_layers, cfg.num_layers)),
+        "final_norm": L.rmsnorm_init(cfg.hidden_size),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = L.dense_init(k_head, cfg.hidden_size, cfg.vocab_size)
+    return params
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Dict:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
+                   cache_kv=None, cache_index=None):
+    """One decoder block. h: [B,T,H]. Returns (h, (new_k, new_v))."""
+    dtype = h.dtype
+    b, t, _ = h.shape
+
+    x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
+    q = L.dense(lp["attn"]["q"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = L.dense(lp["attn"]["k"], x, dtype).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = L.dense(lp["attn"]["v"], x, dtype).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+
+    q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
+    k = L.rmsnorm(lp["attn"]["k_norm"], k, cfg.rms_norm_eps)
+    q = L.apply_rope(q, positions, cfg.rope_theta)
+    k = L.apply_rope(k, positions, cfg.rope_theta)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k_all, v_all = ck.astype(dtype), cv.astype(dtype)
+        new_kv = (ck, cv)
+    else:
+        k_all, v_all = k, v
+        new_kv = (k, v)
+
+    attn_out = attention(q, k_all, v_all, kv_mask=kv_mask, causal=causal,
+                         q_offset=cache_index if cache_kv is not None else None,
+                         impl=cfg.attention_impl)
+    h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype)
+
+    x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
+    h = h + L.swiglu(lp["mlp"], x, dtype)
+    return h, new_kv
+
+
+def decoder_forward(
+    params: Dict,
+    cfg: DecoderConfig,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    cache: Optional[Dict] = None,
+    cache_index: int = 0,
+    cache_mask: Optional[jnp.ndarray] = None,
+    return_hidden: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Run the decoder.
+
+    Without cache: causal self-attention over the current block
+    (`attention_mask` [B,T] marks valid tokens; left padding supported).
+    With cache: keys/values for the block are written at `cache_index`;
+    attention runs over the whole cache with `cache_mask` [B,S_cache]
+    marking valid cache slots (causality is implied by the mask since
+    future slots are still invalid).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    if inputs_embeds is None:
+        inputs_embeds = L.embed(params["embed"], input_ids, dtype)
+    h = inputs_embeds.astype(dtype)
+    b, t, _ = h.shape
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), jnp.int32)
+    if positions is None:
+        positions = L.positions_from_mask(attention_mask)
+
+    if cache is not None:
+        kv_mask, causal = cache_mask, (t > 1)
+    else:
+        kv_mask, causal = attention_mask, True
+
+    if cache is None:
+        def body(h, lp):
+            h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal)
+            return h, None
+        body_fn = jax.checkpoint(body) if cfg.remat else body
+        h, new_kv = jax.lax.scan(body_fn, h, params["layers"])
+    else:
+        def body(h, xs):
+            lp, ck, cv = xs
+            h, new_kv = _layer_forward(lp, h, cfg, positions, kv_mask, causal,
+                                       (ck, cv), cache_index)
+            return h, new_kv
+        h, new_kv = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+
+    h = L.rmsnorm(params["final_norm"], h, cfg.rms_norm_eps)
+    if return_hidden:
+        logits = h
+    elif "lm_head" in params:
+        logits = jnp.einsum("bth,hv->btv", h, params["lm_head"]["kernel"].astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,vh->btv", h, params["embed"]["embedding"].astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+
+    new_cache = None if cache is None else {"k": new_kv[0], "v": new_kv[1]}
+    return logits, new_cache
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       ignore_index: int = -100) -> jnp.ndarray:
+    """Shifted causal LM loss, mean over supervised tokens (HF semantics:
+    logits[:, :-1] predict labels[:, 1:]; reference relies on HF computing
+    this internally — dna_llm.py:237-242)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != ignore_index
+    safe_targets = jnp.where(valid, targets, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe_targets[..., None], axis=-1)[..., 0]
+    nll = (logz - gold) * valid
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
