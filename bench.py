@@ -1,0 +1,99 @@
+"""Benchmark: SFT fusion-model training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "sft_examples_per_sec_per_chip", "value": N, "unit": "examples/s",
+   "vs_baseline": N}
+
+Workload mirrors the reference's headline SFT config shape (NT-500M-class
+encoder + Qwen3-0.6B-class decoder, full 151936-token softmax, text len 768
+incl. spliced DNA, LoRA r32, frozen DNA tower) on whatever single device JAX
+exposes (the real TPU chip under the driver).
+
+`vs_baseline` is value / A100_BASELINE_EXAMPLES_PER_SEC, where the constant
+below is the BASELINE.json target ("≥2x A100 examples/sec/chip"): the
+reference SFT runs ~4 examples/s/A100 at this size (HF+Lightning, bf16,
+flash-attn-2), so the target ratio is >= 8.
+"""
+
+import json
+import time
+
+A100_BASELINE_EXAMPLES_PER_SEC = 4.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from bioreason_tpu.config import (DecoderConfig, EncoderConfig, FusionConfig,
+                                      LoRAConfig, OptimConfig, SFTConfig)
+    from bioreason_tpu.models import init_fusion, fusion_forward
+    from bioreason_tpu.train import trainable as T
+    from bioreason_tpu.train.lora import attach_lora
+    from bioreason_tpu.train.optim import make_optimizer
+
+    B, T_TEXT, S_DNA, L_DNA = 4, 768, 8, 128
+
+    cfg = FusionConfig(
+        decoder=DecoderConfig.qwen3_0_6b(vocab_size=151936),
+        encoder=EncoderConfig.nt_v2_500m(),
+        dna_pad_token_id=151938,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = init_fusion(rng, cfg)
+    params = attach_lora(jax.random.fold_in(rng, 1), params, LoRAConfig(r=32, alpha=64))
+    partition = T.make_partition(params, T.LORA_TRAINABLE)
+    train_leaves, frozen_leaves = T.split(partition, params)
+    tx, _ = make_optimizer(OptimConfig(total_steps=100))
+    opt_state = tx.init(train_leaves)
+
+    npr = np.random.default_rng(0)
+    input_ids = npr.integers(0, 150000, (B, T_TEXT)).astype(np.int32)
+    dna_mask = np.ones((S_DNA, L_DNA), np.int32)
+    per_item = S_DNA // B * L_DNA
+    for b in range(B):
+        input_ids[b, 1:1 + per_item] = cfg.dna_pad_token_id
+    dna_ids = npr.integers(6, 4102, (S_DNA, L_DNA)).astype(np.int32)
+    attention_mask = np.ones((B, T_TEXT), np.int32)
+    labels = np.where(np.arange(T_TEXT)[None] >= T_TEXT - 128, input_ids, -100)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        input_ids=input_ids, attention_mask=attention_mask,
+        dna_input_ids=dna_ids, dna_attention_mask=dna_mask,
+        labels=labels).items()}
+
+    @jax.jit
+    def step(train_leaves, opt_state, batch):
+        def loss_fn(train):
+            p = T.combine(partition, train, frozen_leaves)
+            _, loss = fusion_forward(p, cfg, batch["input_ids"], batch["attention_mask"],
+                                     batch["dna_input_ids"], batch["dna_attention_mask"],
+                                     labels=batch["labels"])
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(train_leaves)
+        updates, opt_state = tx.update(grads, opt_state, train_leaves)
+        return optax.apply_updates(train_leaves, updates), opt_state, loss
+
+    # warmup/compile
+    train_leaves, opt_state, loss = step(train_leaves, opt_state, batch)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        train_leaves, opt_state, loss = step(train_leaves, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = B * n_steps / dt
+    print(json.dumps({
+        "metric": "sft_examples_per_sec_per_chip",
+        "value": round(examples_per_sec, 3),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_sec / A100_BASELINE_EXAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

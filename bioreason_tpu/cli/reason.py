@@ -1,0 +1,119 @@
+"""GRPO RL training CLI (reference entry point: reason.py:596-610).
+
+Loads an SFT checkpoint (merging its LoRA into the base and attaching fresh
+adapters — the reference's three-format checkpoint ingestion collapses to a
+pytree transform, reason.py:422-540), then runs group-relative policy
+optimization with rule-based rewards.
+
+Example smoke run:
+  python -m bioreason_tpu.cli.reason --decoder tiny --encoder tiny \
+      --cpu_devices 8 --num_generations 2 --batch_size 4 --max_steps 2 \
+      --max_completion_length 16 --max_length_dna 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from bioreason_tpu.cli.common import add_common_args, DECODER_PRESETS, ENCODER_PRESETS
+    add_common_args(p)
+    p.add_argument("--decoder", default="qwen3-0.6b", choices=sorted(DECODER_PRESETS))
+    p.add_argument("--encoder", default="nt-500m", choices=sorted(ENCODER_PRESETS))
+    p.add_argument("--sft_checkpoint", default=None)
+    p.add_argument("--reward_funcs", nargs="+",
+                   default=["xmlcount", "soft_format", "correctness"])
+    p.add_argument("--num_generations", type=int, default=8)
+    p.add_argument("--num_iterations", type=int, default=1)
+    p.add_argument("--beta", type=float, default=0.04)
+    p.add_argument("--epsilon", type=float, default=0.2)
+    p.add_argument("--max_completion_length", type=int, default=800)
+    p.add_argument("--lora_r", type=int, default=64)
+    p.add_argument("--lora_alpha", type=int, default=64)
+    args = p.parse_args(argv)
+
+    if args.cpu_devices:
+        from bioreason_tpu.utils import force_cpu_devices
+        force_cpu_devices(args.cpu_devices)
+
+    import jax
+    from bioreason_tpu.cli.common import build_mesh, load_items
+    from bioreason_tpu.config import (FusionConfig, GRPOConfig, LoRAConfig,
+                                      OptimConfig, SamplingConfig)
+    from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+    from bioreason_tpu.data.kegg import format_kegg_prompt_only, synthetic_kegg_items, KEGGDataset
+    from bioreason_tpu.data.utils import split_dataset, truncate_dna
+    from bioreason_tpu.models import init_fusion
+    from bioreason_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                                sft_to_grpo_params)
+    from bioreason_tpu.train.dataflow import repeat_random_indices
+    from bioreason_tpu.train.grpo import GRPOTrainer
+    from bioreason_tpu.train.metrics import MetricsLogger
+    from bioreason_tpu.train.rewards import get_reward_funcs
+
+    tok = ByteTextTokenizer()
+    proc = BioProcessor(tok, KmerTokenizer())
+    fusion_cfg = FusionConfig(
+        decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
+        encoder=ENCODER_PRESETS[args.encoder](),
+        dna_pad_token_id=tok.dna_pad_id,
+        max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+
+    lora_cfg = LoRAConfig(r=args.lora_r, alpha=args.lora_alpha)
+    params = None
+    rng = jax.random.PRNGKey(args.seed)
+    if args.sft_checkpoint:
+        from bioreason_tpu.config import SFTConfig
+        base = init_fusion(rng, fusion_cfg)
+        from bioreason_tpu.train.lora import attach_lora
+        like = attach_lora(rng, base, lora_cfg)
+        try:
+            sft_params = load_checkpoint(args.sft_checkpoint, like=like)
+        except Exception:
+            sft_params = load_checkpoint(args.sft_checkpoint, like=base)
+        params = sft_to_grpo_params(sft_params, jax.random.fold_in(rng, 2), lora_cfg)
+
+    raw = (list(KEGGDataset(args.data_dir).data) if args.data_dir
+           else synthetic_kegg_items(args.n_synthetic, seq_len=512, seed=args.seed))
+    raw = [truncate_dna(dict(x), args.truncate_dna_per_side) for x in raw]
+    train_items, _, _ = split_dataset(raw, seed=args.seed)
+    prompts = [format_kegg_prompt_only(x) for x in train_items]
+
+    steps = args.max_steps or 100
+    cfg = GRPOConfig(
+        num_generations=args.num_generations, batch_size=args.batch_size,
+        num_iterations=args.num_iterations, beta=args.beta, epsilon=args.epsilon,
+        max_completion_length=args.max_completion_length,
+        sampling=SamplingConfig(max_new_tokens=args.max_completion_length),
+        optim=OptimConfig(learning_rate=args.learning_rate or 5e-6, total_steps=steps),
+        lora=lora_cfg, seed=args.seed)
+
+    trainer = GRPOTrainer(fusion_cfg, cfg, proc, get_reward_funcs(args.reward_funcs),
+                          mesh=build_mesh(args.mesh), params=params)
+    logger = MetricsLogger(args.log_dir, use_wandb=args.wandb, config=vars(args))
+
+    n_prompts_per_step = args.batch_size // args.num_generations
+    step = 0
+    epoch = 0
+    while step < steps:
+        for idx in repeat_random_indices(len(prompts), n_prompts_per_step,
+                                         args.num_generations, args.seed, epoch):
+            metrics = trainer.step([prompts[i] for i in idx])
+            logger.log({f"grpo/{k}": v for k, v in metrics.items()}, step=step)
+            step += 1
+            if step >= steps:
+                break
+        epoch += 1
+
+    ckpt = os.path.join(args.checkpoint_dir, "grpo_final")
+    save_checkpoint(ckpt, trainer.params, step=step, stage="grpo")
+    print(f"saved checkpoint to {ckpt}")
+    logger.close()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

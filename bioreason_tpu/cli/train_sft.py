@@ -1,0 +1,123 @@
+"""SFT fusion training CLI (reference entry point: train_dna_qwen.py:1011-1062).
+
+Example (synthetic smoke run on virtual CPU devices):
+  python -m bioreason_tpu.cli.train_sft --decoder tiny --encoder tiny \
+      --cpu_devices 8 --batch_size 4 --num_epochs 1 --max_length_dna 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from bioreason_tpu.cli.common import add_common_args, DECODER_PRESETS, ENCODER_PRESETS
+    add_common_args(p)
+    p.add_argument("--decoder", default="qwen3-0.6b", choices=sorted(DECODER_PRESETS))
+    p.add_argument("--encoder", default="nt-500m", choices=sorted(ENCODER_PRESETS))
+    p.add_argument("--llm_only", action="store_true",
+                   help="paste DNA into text instead of encoder fusion")
+    p.add_argument("--lora_r", type=int, default=32)
+    p.add_argument("--lora_alpha", type=int, default=64)
+    p.add_argument("--no_lora", action="store_true", help="full finetune")
+    p.add_argument("--bucket", type=int, default=128)
+    p.add_argument("--eval_every", type=int, default=0, help="val loss every N steps")
+    p.add_argument("--test_generative", action="store_true",
+                   help="run the generative substring-match eval after training")
+    p.add_argument("--test_labels", nargs=2, default=None,
+                   metavar=("NEG", "POS"), help="binary labels for the test eval")
+    p.add_argument("--max_new_tokens", type=int, default=800)
+    args = p.parse_args(argv)
+
+    if args.cpu_devices:
+        from bioreason_tpu.utils import force_cpu_devices
+        force_cpu_devices(args.cpu_devices)
+
+    import jax
+    from bioreason_tpu.cli.common import build_mesh, load_items
+    from bioreason_tpu.config import (FusionConfig, LoRAConfig, OptimConfig, SFTConfig,
+                                      SamplingConfig)
+    from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+    from bioreason_tpu.data.collate import sft_collate
+    from bioreason_tpu.generate import GenerationEngine
+    from bioreason_tpu.train.checkpoint import save_checkpoint
+    from bioreason_tpu.train.dataflow import batch_iterator
+    from bioreason_tpu.train.eval import evaluate_generative, multilabel_substring_accuracy
+    from bioreason_tpu.train.metrics import MetricsLogger, StepTimer
+    from bioreason_tpu.train.sft import SFTTrainer
+
+    tok = ByteTextTokenizer()
+    proc = BioProcessor(tok, KmerTokenizer())
+    train_items, val_items, test_items = load_items(
+        args.dataset_type, args.data_dir, args.n_synthetic,
+        args.truncate_dna_per_side, args.seed, llm_only=args.llm_only)
+
+    fusion_cfg = FusionConfig(
+        decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
+        encoder=ENCODER_PRESETS[args.encoder](),
+        dna_pad_token_id=tok.dna_pad_id,
+        max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+
+    steps_per_epoch = max(1, len(train_items) // args.batch_size)
+    total_steps = args.max_steps or steps_per_epoch * args.num_epochs
+    sft_cfg = SFTConfig(
+        batch_size=args.batch_size, max_length_text=args.max_length_text,
+        max_length_dna=args.max_length_dna, bucket=args.bucket,
+        optim=OptimConfig(learning_rate=args.learning_rate, total_steps=total_steps),
+        lora=None if args.no_lora else LoRAConfig(r=args.lora_r, alpha=args.lora_alpha),
+        seed=args.seed)
+
+    mesh = build_mesh(args.mesh)
+    trainer = SFTTrainer(fusion_cfg, sft_cfg, mesh=mesh)
+    logger = MetricsLogger(args.log_dir, use_wandb=args.wandb, config=vars(args))
+    timer = StepTimer()
+
+    collate = functools.partial(sft_collate, processor=proc,
+                                max_length_text=args.max_length_text,
+                                max_length_dna=args.max_length_dna,
+                                bucket=args.bucket)
+    val_collate = collate
+
+    step = 0
+    for batch in batch_iterator(train_items, collate, args.batch_size,
+                                seed=args.seed, epochs=args.num_epochs):
+        timer.start()
+        metrics = trainer.train_step(batch)
+        metrics["step_time"] = timer.stop()
+        metrics["examples_per_sec"] = args.batch_size / metrics["step_time"]
+        logger.log({f"train/{k}": v for k, v in metrics.items()}, step=step)
+        step += 1
+        if args.eval_every and step % args.eval_every == 0 and val_items:
+            val_losses = [trainer.eval_step(b) for b in batch_iterator(
+                val_items, val_collate, args.batch_size, shuffle=False, epochs=1)]
+            logger.log({"val/loss": float(np.mean(val_losses))}, step=step)
+        if args.max_steps and step >= args.max_steps:
+            break
+
+    ckpt_path = os.path.join(args.checkpoint_dir, "sft_final")
+    save_checkpoint(ckpt_path, trainer.params, step=step, stage="sft",
+                    extra_metadata={"decoder": args.decoder, "encoder": args.encoder})
+    print(f"saved checkpoint to {ckpt_path}")
+
+    if args.test_generative and test_items:
+        engine = GenerationEngine(fusion_cfg, eos_token_id=tok.eos_token_id)
+        labels = tuple(args.test_labels) if args.test_labels else ("benign", "pathogenic")
+        res = evaluate_generative(
+            engine, trainer.params, proc, test_items, labels=labels,
+            sampling=SamplingConfig(max_new_tokens=args.max_new_tokens),
+            max_new_tokens=args.max_new_tokens, batch_size=args.batch_size,
+            csv_path=os.path.join(args.checkpoint_dir, "test_generations.csv"),
+            max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+        logger.log({**res.summary(),
+                    "test_substring_accuracy": multilabel_substring_accuracy(res.generations)})
+    logger.close()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

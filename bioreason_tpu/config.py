@@ -40,7 +40,7 @@ class DecoderConfig:
     def tiny(cls, vocab_size: int = 300) -> "DecoderConfig":
         return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
-                   remat=False, attention_impl="xla")
+                   remat=False, attention_impl="xla", dtype="float32")
 
     @classmethod
     def qwen3_0_6b(cls, vocab_size: int = 151936) -> "DecoderConfig":
@@ -80,7 +80,8 @@ class EncoderConfig:
     @classmethod
     def tiny(cls, vocab_size: int = 4107) -> "EncoderConfig":
         return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
-                   num_layers=2, num_heads=4, remat=False, attention_impl="xla")
+                   num_layers=2, num_heads=4, remat=False, attention_impl="xla",
+                   dtype="float32")
 
     @classmethod
     def nt_v2_50m(cls) -> "EncoderConfig":
@@ -120,7 +121,7 @@ class HyenaConfig:
     @classmethod
     def tiny(cls) -> "HyenaConfig":
         return cls(hidden_size=64, intermediate_size=128, num_layers=3, num_heads=4,
-                   attn_every=2, remat=False, attention_impl="xla")
+                   attn_every=2, remat=False, attention_impl="xla", dtype="float32")
 
     @classmethod
     def evo2_1b(cls) -> "HyenaConfig":

@@ -40,6 +40,13 @@ class CharDNATokenizer:
                  padding_side: str = "left", pad_to: Optional[int] = None):
         if isinstance(sequences, str):
             sequences = [sequences]
+        if padding and sequences and all(s.isascii() for s in sequences):
+            from bioreason_tpu.data.native import char_tokenize_batch_native
+            out = char_tokenize_batch_native(
+                sequences, max_length if truncation else None, self.pad_id,
+                padding_side=padding_side, pad_to=pad_to)
+            if out is not None:
+                return out
         encoded = [self.encode(s) for s in sequences]
         if truncation and max_length is not None:
             encoded = [e[:max_length] for e in encoded]

@@ -44,6 +44,8 @@ class KmerTokenizer:
     def __init__(self, vocab: Optional[Sequence[str]] = None, kmer: int = 6,
                  prepend_cls: bool = True, append_eos: bool = False):
         self.kmer = kmer
+        # default-layout vocabs can use the native C kernel (data/native.py)
+        self._default_layout = vocab is None and kmer == 6
         self.vocab: List[str] = list(vocab) if vocab is not None else _default_vocab(kmer)
         self.token_to_id: Dict[str, int] = {t: i for i, t in enumerate(self.vocab)}
         self.prepend_cls = prepend_cls
@@ -113,6 +115,13 @@ class KmerTokenizer:
         """
         if isinstance(sequences, str):
             sequences = [sequences]
+        if (self._default_layout and padding and truncation and sequences
+                and self.prepend_cls and not self.append_eos):
+            from bioreason_tpu.data.native import nt_tokenize_batch_native
+            out = nt_tokenize_batch_native(sequences, max_length or 1 << 30,
+                                           padding_side=padding_side, pad_to=pad_to)
+            if out is not None:
+                return out
         encoded = [self.encode(s) for s in sequences]
         if truncation and max_length is not None:
             encoded = [e[:max_length] for e in encoded]

@@ -30,7 +30,6 @@ def init_classifier(rng, cfg: EncoderConfig, num_classes: int = 2,
             "query": jax.random.normal(k_q, (1, 1, d), jnp.float32),
             "q": L.dense_init(kq, d, d), "k": L.dense_init(kk, d, d),
             "v": L.dense_init(kv, d, d), "o": L.dense_init(ko, d, d),
-            "num_heads": num_pool_heads,
         },
         "classifier": {
             "fc1": {**L.dense_init(k_c1, 2 * d, d), "bias": jnp.zeros((d,), jnp.float32)},
@@ -39,11 +38,12 @@ def init_classifier(rng, cfg: EncoderConfig, num_classes: int = 2,
     }
 
 
-def attention_pool(pool: Dict, h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def attention_pool(pool: Dict, h: jnp.ndarray, mask: jnp.ndarray,
+                   num_heads: int = 8) -> jnp.ndarray:
     """Learned-query multi-head attention pooling (dna_only.py:8-39).
     h: [B,T,D], mask: [B,T] -> [B,D]."""
     b, t, d = h.shape
-    nh = pool["num_heads"]
+    nh = num_heads if d % num_heads == 0 else 1
     hd = d // nh
     dtype = h.dtype
     q = (pool["query"].astype(dtype) @ pool["q"]["kernel"].astype(dtype)).reshape(1, 1, nh, hd)

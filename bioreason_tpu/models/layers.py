@@ -20,7 +20,16 @@ def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None):
 
 
 def dense(params, x, dtype=jnp.bfloat16):
-    return x.astype(dtype) @ params["kernel"].astype(dtype)
+    """Linear layer; transparently applies a LoRA adapter when the param dict
+    carries `lora_a`/`lora_b` leaves (see train/lora.py):
+    y = x@W + (x@A)@B * scale."""
+    x = x.astype(dtype)
+    y = x @ params["kernel"].astype(dtype)
+    if "lora_a" in params:
+        a = params["lora_a"].astype(dtype)
+        b = params["lora_b"].astype(dtype)
+        y = y + ((x @ a) @ b) * params["lora_scale"].astype(dtype)
+    return y
 
 
 def embed_init(rng, vocab: int, dim: int, std: float = 0.02):

@@ -1,0 +1,47 @@
+"""On-device token sampling: temperature / top-k / top-p.
+
+Reference sampling parameters: temperature 0.6, top_p 0.95, top_k 20
+(grpo_config.py:192-209, train_dna_qwen.py:284-289). The top-k+top-p filter
+runs on the [B, top_k] slice from `jax.lax.top_k` — O(V) selection once, then
+all work on a 20-wide tile, which keeps the decode step VPU-bound instead of
+sort-bound on the 151k-wide vocab.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_logits(rng: jax.Array, logits: jnp.ndarray, temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 1.0, greedy: bool = False) -> jnp.ndarray:
+    """logits [B, V] -> sampled token ids [B]."""
+    if greedy or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    logits = logits.astype(jnp.float32) / temperature
+    v = logits.shape[-1]
+    k = top_k if (top_k and top_k > 0) else v
+    k = min(k, v)
+
+    vals, idx = jax.lax.top_k(logits, k)           # sorted desc: [B, k]
+    if top_p < 1.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose cumulative mass up to and including them minus own
+        # prob is < top_p (always keeps the first token)
+        keep = (cum - probs) < top_p
+        vals = jnp.where(keep, vals, -jnp.inf)
+
+    choice = jax.random.categorical(rng, vals, axis=-1)          # [B] in [0, k)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def completion_mask_from_eos(tokens: jnp.ndarray, eos_token_id: int) -> jnp.ndarray:
+    """Mask of positions up to and INCLUDING the first EOS (reference EOS
+    masking, grpo_trainer.py:605-609); all ones when no EOS. tokens [B, T]."""
+    is_eos = tokens == eos_token_id
+    any_eos = is_eos.any(axis=-1)
+    first = jnp.argmax(is_eos, axis=-1)
+    limit = jnp.where(any_eos, first, tokens.shape[1] - 1)
+    return (jnp.arange(tokens.shape[1])[None, :] <= limit[:, None]).astype(jnp.int32)

@@ -1,0 +1,148 @@
+"""PartitionSpec rules for model/optimizer pytrees.
+
+The reference's parallelism (SURVEY §2.3) maps onto GSPMD:
+  * DDP / ZeRO-2            -> params replicated over 'data', optimizer state
+                               sharded over ('fsdp','data') (zero2_opt_specs)
+  * dead HF TP plan
+    (configuration_dl.py:150-158) -> realized here: q/k/v/gate/up colwise
+                               ('model' on the output dim), o/down rowwise
+                               ('model' on the input dim)
+  * FSDP                    -> kernels sharded over 'fsdp' on the non-TP dim
+
+Rules are (regex, PartitionSpec) pairs matched against 'path/like/this'
+param paths (first match wins). Decoder layer kernels are STACKED [L, in, out]
+so specs carry a leading None for the layer axis.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Rules = List[Tuple[str, P]]
+
+
+def partition_rules_decoder(prefix: str = "") -> Rules:
+    p = re.escape(prefix)
+    return [
+        (p + r"embed/embedding$", P("model", "fsdp")),
+        (p + r"lm_head/kernel$", P("fsdp", "model")),
+        (p + r"layers/attn/(q|k|v)/lora_a$", P(None, "fsdp", None)),
+        (p + r"layers/attn/(q|k|v)/lora_b$", P(None, None, "model")),
+        (p + r"layers/attn/o/lora_a$", P(None, "model", None)),
+        (p + r"layers/attn/o/lora_b$", P(None, None, "fsdp")),
+        (p + r"layers/mlp/(gate|up)/lora_a$", P(None, "fsdp", None)),
+        (p + r"layers/mlp/(gate|up)/lora_b$", P(None, None, "model")),
+        (p + r"layers/mlp/down/lora_a$", P(None, "model", None)),
+        (p + r"layers/mlp/down/lora_b$", P(None, None, "fsdp")),
+        (p + r"layers/attn/(q|k|v)/kernel$", P(None, "fsdp", "model")),
+        (p + r"layers/attn/o/kernel$", P(None, "model", "fsdp")),
+        (p + r"layers/mlp/(gate|up)/kernel$", P(None, "fsdp", "model")),
+        (p + r"layers/mlp/down/kernel$", P(None, "model", "fsdp")),
+        (p + r".*(scale|bias)$", P()),
+        (p + r".*", P()),
+    ]
+
+
+def partition_rules_encoder(prefix: str = "") -> Rules:
+    p = re.escape(prefix)
+    return [
+        (p + r"embed/embedding$", P(None, "fsdp")),
+        (p + r"layers/attn/(q|k|v)/kernel$", P(None, "fsdp", "model")),
+        (p + r"layers/attn/o/kernel$", P(None, "model", "fsdp")),
+        (p + r"layers/mlp/(gate|up)/kernel$", P(None, "fsdp", "model")),
+        (p + r"layers/mlp/down/kernel$", P(None, "model", "fsdp")),
+        (p + r".*(scale|bias)$", P()),
+        (p + r".*", P()),
+    ]
+
+
+def partition_rules_fusion() -> Rules:
+    return (
+        partition_rules_decoder("decoder/")
+        + partition_rules_encoder("encoder/")
+        + [(r"dna_projection/kernel$", P("fsdp", "model")),
+           (r"dna_projection/bias$", P()),
+           (r".*", P())]
+    )
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def spec_for_path(path_str: str, rules: Rules) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, path_str):
+            return spec
+    return P()
+
+
+def specs_for_params(params, rules: Rules):
+    """Pytree of PartitionSpecs matching `params`' structure."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for_path(_path_str(path), rules), params)
+
+
+def _valid_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharding on axes that don't divide evenly (tiny test shapes)."""
+    out = []
+    for i, names in enumerate(spec):
+        if names is None:
+            out.append(None)
+            continue
+        axis_names = names if isinstance(names, tuple) else (names,)
+        size = int(np.prod([mesh.shape[a] for a in axis_names]))
+        if i < len(shape) and shape[i] % size == 0 and shape[i] > 0:
+            out.append(names)
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def shardings_for_params(params, rules: Rules, mesh: Mesh):
+    specs = specs_for_params(params, rules)
+    return jax.tree.map(
+        lambda leaf, spec: NamedSharding(mesh, _valid_spec(spec, leaf.shape, mesh)),
+        params, specs)
+
+
+def shard_params(params, rules: Rules, mesh: Mesh):
+    """Device-put a host pytree onto the mesh according to the rules."""
+    return jax.device_put(params, shardings_for_params(params, rules, mesh))
+
+
+def batch_spec() -> P:
+    """Batch arrays: shard the leading (batch) dim over data+fsdp."""
+    return P(("data", "fsdp"))
+
+
+def zero2_opt_specs(param_specs, params, mesh: Mesh):
+    """ZeRO-2 analogue (SURVEY §2.3): shard optimizer moments over 'data' on
+    the first axis where it divides evenly and the param spec leaves it free;
+    fall back to the param's own spec."""
+    dp = mesh.shape["data"]
+
+    def one(spec: P, leaf):
+        shape = leaf.shape
+        names = list(spec) + [None] * (len(shape) - len(spec))
+        if dp > 1:
+            for i, (n, s) in enumerate(zip(names, shape)):
+                if n is None and s % dp == 0 and s >= dp:
+                    names[i] = "data"
+                    break
+        return P(*names)
+
+    return jax.tree.map(one, param_specs, params)

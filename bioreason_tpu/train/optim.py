@@ -1,0 +1,35 @@
+"""Optimizers: AdamW + cosine schedule with linear warmup.
+
+Reference semantics: AdamW, cosine decay, 10% warmup, grad clip 1.0
+(train_dna_qwen.py:393-411, pl.Trainer gradient_clip_val=1.0 :1002).
+ZeRO-2's optimizer-state sharding is NOT an optimizer concern here — it falls
+out of GSPMD by giving the optax state pytree sharded PartitionSpecs
+(parallel/partition.py:zero2_opt_specs).
+"""
+
+from __future__ import annotations
+
+import optax
+
+from bioreason_tpu.config import OptimConfig
+
+
+def cosine_warmup_schedule(cfg: OptimConfig):
+    warmup = max(1, int(cfg.total_steps * cfg.warmup_ratio))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=warmup,
+        decay_steps=max(cfg.total_steps, warmup + 1),
+        end_value=0.0,
+    )
+
+
+def make_optimizer(cfg: OptimConfig):
+    schedule = cosine_warmup_schedule(cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                    weight_decay=cfg.weight_decay),
+    )
+    return tx, schedule

@@ -1,0 +1,146 @@
+"""SFT trainer: LoRA fine-tuning of the fusion model under pjit.
+
+Rebuilds the reference `DNALLMFineTuner` Lightning module
+(train_dna_qwen.py:45-411) as one jitted, donated, mesh-sharded train step:
+
+  * LoRA over the text tower (all linear layers, lm_head/embeds excluded),
+    frozen DNA tower, trainable projection (reference :136-177);
+  * AdamW + cosine 10%-warmup + clip 1.0 (reference :393-411, :1002);
+  * bf16 compute / fp32 master params;
+  * DDP / ZeRO-2 (reference :989-1005 + ds_config_stage2.json) realized as:
+    params replicated over 'data' (sharded over 'fsdp'/'model' per the
+    partition rules), optimizer state sharded over 'data' (zero2 specs) —
+    XLA emits the reduce-scatter/all-gather that DeepSpeed does by hand.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bioreason_tpu.config import FusionConfig, SFTConfig, MeshConfig
+from bioreason_tpu.models.fusion import init_fusion, fusion_forward, validate_splice
+from bioreason_tpu.parallel.mesh import make_mesh
+from bioreason_tpu.parallel.partition import (
+    partition_rules_fusion, shardings_for_params, batch_spec, _valid_spec)
+from bioreason_tpu.train import trainable as T
+from bioreason_tpu.train.lora import attach_lora
+from bioreason_tpu.train.optim import make_optimizer
+
+BATCH_KEYS = ("input_ids", "attention_mask", "dna_input_ids", "dna_attention_mask", "labels")
+
+
+def _zero2_sharding(shape_dtype, mesh: Mesh):
+    shape = shape_dtype.shape
+    dp = mesh.shape["data"]
+    names = [None] * len(shape)
+    if dp > 1:
+        for i, s in enumerate(shape):
+            if s % dp == 0 and s >= dp:
+                names[i] = "data"
+                break
+    return NamedSharding(mesh, P(*names))
+
+
+class SFTTrainer:
+    def __init__(self, fusion_cfg: FusionConfig, cfg: SFTConfig,
+                 mesh: Optional[Mesh] = None, params: Optional[Dict] = None,
+                 rng: Optional[jax.Array] = None):
+        self.fusion_cfg = fusion_cfg
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+
+        if params is None:
+            params = init_fusion(rng, fusion_cfg)
+        if cfg.lora is not None:
+            params = attach_lora(jax.random.fold_in(rng, 1), params, cfg.lora)
+            trainable_regex = T.LORA_TRAINABLE
+        else:
+            trainable_regex = T.FULL_FINETUNE
+        if not cfg.freeze_encoder:
+            trainable_regex = f"({trainable_regex})|(^encoder/)"
+
+        rules = partition_rules_fusion()
+        params = jax.device_put(params, shardings_for_params(params, rules, self.mesh))
+
+        self.partition = T.make_partition(params, trainable_regex)
+        self.train_leaves, self.frozen_leaves = T.split(self.partition, params)
+
+        self.tx, self.schedule = make_optimizer(cfg.optim)
+        opt_shapes = jax.eval_shape(self.tx.init, self.train_leaves)
+        opt_shardings = jax.tree.map(lambda s: _zero2_sharding(s, self.mesh), opt_shapes)
+        self.opt_state = jax.jit(self.tx.init, out_shardings=opt_shardings)(self.train_leaves)
+
+        self.step = 0
+        self._batch_sharding_cache = {}
+        self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 2))
+        self._jit_eval = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------
+
+    def _train_step(self, train_leaves, frozen_leaves, opt_state, batch):
+        def loss_fn(train):
+            params = T.combine(self.partition, train, frozen_leaves)
+            _, loss = fusion_forward(
+                params, self.fusion_cfg,
+                batch["input_ids"], batch["attention_mask"],
+                batch.get("dna_input_ids"), batch.get("dna_attention_mask"),
+                labels=batch["labels"],
+                train_encoder=not self.cfg.freeze_encoder)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(train_leaves)
+        updates, opt_state = self.tx.update(grads, opt_state, train_leaves)
+        train_leaves = optax.apply_updates(train_leaves, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return train_leaves, opt_state, metrics
+
+    def _eval_step(self, train_leaves, frozen_leaves, batch):
+        params = T.combine(self.partition, train_leaves, frozen_leaves)
+        _, loss = fusion_forward(
+            params, self.fusion_cfg,
+            batch["input_ids"], batch["attention_mask"],
+            batch.get("dna_input_ids"), batch.get("dna_attention_mask"),
+            labels=batch["labels"])
+        return loss
+
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        validate_splice(batch["input_ids"], batch.get("dna_input_ids"),
+                        self.fusion_cfg.dna_pad_token_id)
+        out = {}
+        for k in BATCH_KEYS:
+            v = batch.get(k)
+            if v is None:
+                continue
+            arr = np.asarray(v)
+            spec = batch_spec() if k in ("input_ids", "attention_mask", "labels") else P()
+            spec = _valid_spec(spec, arr.shape, self.mesh)
+            out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        db = self._device_batch(batch)
+        self.train_leaves, self.opt_state, metrics = self._jit_step(
+            self.train_leaves, self.frozen_leaves, self.opt_state, db)
+        self.step += 1
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["lr"] = float(self.schedule(self.step))
+        return metrics
+
+    def eval_step(self, batch: Dict[str, Any]) -> float:
+        db = self._device_batch(batch)
+        return float(self._jit_eval(self.train_leaves, self.frozen_leaves, db))
+
+    @property
+    def params(self) -> Dict:
+        """Full (reassembled) parameter tree."""
+        return T.combine(self.partition, self.train_leaves, self.frozen_leaves)

@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioreason_tpu.models.attention import xla_attention
+from bioreason_tpu.ops.flash_attention import flash_attention
+
+# CPU tests run the kernels in interpret mode (forced automatically).
+
+
+def rand(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+def make_qkv(b=2, tq=128, tk=128, hq=4, hkv=2, d=32):
+    q = rand((b, tq, hq, d), 0)
+    k = rand((b, tk, hkv, d), 1)
+    v = rand((b, tk, hkv, d), 2)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_matches_xla_full_mask(causal):
+    q, k, v = make_qkv()
+    out_f = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64)
+    out_x = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5, rtol=2e-5)
+
+
+def test_padding_mask():
+    q, k, v = make_qkv(b=2, tq=64, tk=64)
+    mask = jnp.ones((2, 64), jnp.int32).at[0, 40:].set(0).at[1, 10:].set(0)
+    out_f = flash_attention(q, k, v, kv_mask=mask, causal=False, block_q=32, block_k=32)
+    out_x = xla_attention(q, k, v, kv_mask=mask, causal=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5, rtol=2e-5)
+
+
+def test_causal_with_q_offset():
+    # prefill-into-larger-cache: queries at absolute positions 0..tq-1, cache len tk
+    q, k, v = make_qkv(b=1, tq=32, tk=64)
+    mask = jnp.ones((1, 64), jnp.int32).at[0, 32:].set(0)
+    out_f = flash_attention(q, k, v, kv_mask=mask, causal=True, q_offset=0,
+                            block_q=32, block_k=32)
+    out_x = xla_attention(q, k, v, kv_mask=mask, causal=True, q_offset=0)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5, rtol=2e-5)
+
+
+def test_non_divisible_lengths_padded():
+    q, k, v = make_qkv(b=1, tq=100, tk=77, hq=2, hkv=2)
+    mask = jnp.ones((1, 77), jnp.int32)
+    out_f = flash_attention(q, k, v, kv_mask=mask, causal=False, block_q=64, block_k=64)
+    out_x = xla_attention(q, k, v, kv_mask=mask, causal=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_xla(causal):
+    q, k, v = make_qkv(b=1, tq=64, tk=64, hq=4, hkv=2, d=32)
+    mask = jnp.ones((1, 64), jnp.int32).at[0, 50:].set(0)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, kv_mask=mask, causal=causal,
+                                block_q=32, block_k=32) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (xla_attention(q, k, v, kv_mask=mask, causal=causal) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)

@@ -1,0 +1,100 @@
+import jax
+import numpy as np
+import pytest
+
+from bioreason_tpu.config import (FusionConfig, GRPOConfig, LoRAConfig, MeshConfig,
+                                  OptimConfig, SamplingConfig)
+from bioreason_tpu.data import BioProcessor, KmerTokenizer, ByteTextTokenizer
+from bioreason_tpu.data.kegg import synthetic_kegg_items, format_kegg_prompt_only
+from bioreason_tpu.train.dataflow import repeat_random_indices
+from bioreason_tpu.parallel import make_mesh
+from bioreason_tpu.train.grpo import GRPOTrainer
+from bioreason_tpu.train.rewards import (REWARD_REGISTRY, correctness_reward,
+                                         extract_answer, xmlcount_reward)
+
+TOK = ByteTextTokenizer()
+PROC = BioProcessor(TOK, KmerTokenizer())
+
+
+class TestRewards:
+    def test_extract_answer(self):
+        assert extract_answer("<think>\nhm\n</think>\n\nAnswer: x") == "Answer: x"
+        assert extract_answer("no think") == "no think"
+
+    def test_correctness_per_example(self):
+        comps = ["</think>p53 pathway", "</think>wnt", "</think>p53"]
+        answers = ["p53", "p53", "p53"]
+        out = correctness_reward([], comps, answers)
+        assert out == [2.0, 0.0, 2.0]
+
+    def test_xmlcount(self):
+        assert xmlcount_reward([], ["<think>\nx\n</think>\ny"])[0] == 0.25
+        assert xmlcount_reward([], ["nothing"])[0] == 0.0
+
+    def test_registry_complete(self):
+        assert set(REWARD_REGISTRY) == {"xmlcount", "soft_format", "strict_format",
+                                        "less_than_4", "correctness"}
+
+
+def make_trainer(G=2, batch=4, beta=0.04, mu=1):
+    fusion = FusionConfig.tiny(text_vocab=TOK.vocab_size, dna_pad_token_id=TOK.dna_pad_id)
+    cfg = GRPOConfig(
+        num_generations=G, batch_size=batch, beta=beta, num_iterations=mu,
+        max_completion_length=8,
+        sampling=SamplingConfig(temperature=1.0, top_k=10, top_p=0.95, max_new_tokens=8),
+        optim=OptimConfig(learning_rate=1e-3, total_steps=10),
+        lora=LoRAConfig(r=4, alpha=8))
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
+    return GRPOTrainer(fusion, cfg, PROC,
+                       [REWARD_REGISTRY["correctness"], REWARD_REGISTRY["xmlcount"]],
+                       mesh=mesh)
+
+
+def make_items(n_prompts, G):
+    raw = [format_kegg_prompt_only(it) for it in synthetic_kegg_items(n_prompts, seq_len=24)]
+    idx = next(repeat_random_indices(n_prompts, n_prompts, G, seed=0, epoch=0))
+    return [raw[i] for i in idx]
+
+
+class TestRepeatSampler:
+    def test_contiguous_groups(self):
+        idx = next(repeat_random_indices(6, 3, 4, seed=1, epoch=0))
+        assert len(idx) == 12
+        for g in range(3):
+            group = idx[g * 4:(g + 1) * 4]
+            assert len(set(group)) == 1
+
+
+class TestGRPOTrainer:
+    def test_divisibility_check(self):
+        with pytest.raises(AssertionError, match="divisible"):
+            make_trainer(G=3, batch=4)
+
+    def test_step_runs_and_metrics(self):
+        trainer = make_trainer(G=2, batch=4, beta=0.04)
+        items = make_items(2, 2)
+        m = trainer.step(items)
+        for key in ("loss", "kl", "clip_ratio", "reward", "reward_std",
+                    "completion_length", "rewards/correctness_reward"):
+            assert key in m, key
+            assert np.isfinite(m[key]), key
+        # step again: params update path works repeatedly
+        m2 = trainer.step(items)
+        assert np.isfinite(m2["loss"])
+
+    def test_mu_buffering_reuses_rollout(self):
+        trainer = make_trainer(G=2, batch=4, beta=0.0, mu=2)
+        items = make_items(2, 2)
+        trainer.step(items)
+        buf1 = trainer._buffer
+        trainer.step(items)          # mu=2: second step must reuse the buffer
+        assert trainer._buffer is buf1
+        trainer.step(items)          # third step regenerates
+        assert trainer._buffer is not buf1
+
+    def test_advantages_group_normalized(self):
+        trainer = make_trainer(G=2, batch=4, beta=0.0)
+        items = make_items(2, 2)
+        out = trainer._generate_and_score(items)
+        adv = np.asarray(out["batch"]["advantages"]).reshape(-1, 2)
+        np.testing.assert_allclose(adv.sum(axis=1), 0.0, atol=1e-4)

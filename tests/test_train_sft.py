@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioreason_tpu.config import (FusionConfig, SFTConfig, MeshConfig, LoRAConfig,
+                                  OptimConfig)
+from bioreason_tpu.data import BioProcessor, KmerTokenizer, ByteTextTokenizer
+from bioreason_tpu.data.kegg import synthetic_kegg_items, format_kegg_for_dna_llm
+from bioreason_tpu.data.collate import sft_collate
+from bioreason_tpu.models import init_fusion, fusion_forward
+from bioreason_tpu.parallel import make_mesh
+from bioreason_tpu.train.lora import attach_lora, merge_lora, strip_lora
+from bioreason_tpu.train.sft import SFTTrainer
+from bioreason_tpu.train import trainable as T
+
+TOK = ByteTextTokenizer()
+PROC = BioProcessor(TOK, KmerTokenizer())
+
+
+def tiny_cfgs(lora=True):
+    fusion = FusionConfig.tiny(text_vocab=TOK.vocab_size, dna_pad_token_id=TOK.dna_pad_id)
+    sft = SFTConfig(batch_size=2, max_length_dna=64, bucket=None,
+                    optim=OptimConfig(learning_rate=1e-2, total_steps=20),
+                    lora=LoRAConfig(r=4, alpha=8) if lora else None)
+    return fusion, sft
+
+
+def make_batch(n=2, seed=0):
+    items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(n, seq_len=40, seed=seed)]
+    return sft_collate(items, PROC, max_length_text=512, max_length_dna=64)
+
+
+class TestLoRA:
+    def test_attach_is_identity_at_init(self):
+        fusion, _ = tiny_cfgs()
+        params = init_fusion(jax.random.PRNGKey(0), fusion)
+        lparams = attach_lora(jax.random.PRNGKey(1), params, LoRAConfig(r=4, alpha=8))
+        batch = make_batch()
+        args = (jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["dna_input_ids"]), jnp.asarray(batch["dna_attention_mask"]))
+        l1, _ = fusion_forward(params, fusion, *args)
+        l2, _ = fusion_forward(lparams, fusion, *args)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+    def test_excludes_encoder_embed_projection(self):
+        fusion, _ = tiny_cfgs()
+        params = init_fusion(jax.random.PRNGKey(0), fusion)
+        lparams = attach_lora(jax.random.PRNGKey(1), params, LoRAConfig(r=4, alpha=8))
+        paths = ["/".join(str(getattr(k, "key", k)) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(lparams)[0]]
+        lora_paths = [p for p in paths if "lora_a" in p]
+        assert lora_paths, "no adapters attached"
+        assert all(p.startswith("decoder/layers") for p in lora_paths)
+
+    def test_merge_equals_adapter_forward(self):
+        fusion, _ = tiny_cfgs()
+        params = init_fusion(jax.random.PRNGKey(0), fusion)
+        lparams = attach_lora(jax.random.PRNGKey(1), params, LoRAConfig(r=4, alpha=8))
+        # give lora_b nonzero values so merge actually changes weights
+        lparams = jax.tree_util.tree_map_with_path(
+            lambda p, x: x + 0.01 if "lora_b" in "/".join(str(getattr(k, "key", k)) for k in p) else x,
+            lparams)
+        merged = merge_lora(lparams)
+        batch = make_batch(seed=1)
+        args = (jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["dna_input_ids"]), jnp.asarray(batch["dna_attention_mask"]))
+        l_adapter, _ = fusion_forward(lparams, fusion, *args)
+        l_merged, _ = fusion_forward(merged, fusion, *args)
+        np.testing.assert_allclose(np.asarray(l_adapter), np.asarray(l_merged),
+                                   rtol=2e-2, atol=2e-2)
+        # strip returns the base behavior
+        l_base, _ = fusion_forward(params, fusion, *args)
+        l_strip, _ = fusion_forward(strip_lora(lparams), fusion, *args)
+        np.testing.assert_allclose(np.asarray(l_base), np.asarray(l_strip), atol=1e-5)
+
+
+class TestSFTTrainer:
+    def test_loss_decreases_and_frozen_stay_frozen(self):
+        fusion, sft = tiny_cfgs()
+        mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
+        trainer = SFTTrainer(fusion, sft, mesh=mesh)
+        frozen_before = jax.tree.map(lambda x: np.asarray(x), trainer.frozen_leaves)
+        batch = make_batch(n=4, seed=2)
+        losses = [trainer.train_step(batch)["loss"] for _ in range(5)]
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(l) for l in losses)
+        for before, after in zip(frozen_before, trainer.frozen_leaves):
+            np.testing.assert_array_equal(before, np.asarray(after))
+
+    def test_trainable_selection(self):
+        fusion, sft = tiny_cfgs()
+        mesh = make_mesh(MeshConfig(data=8))
+        trainer = SFTTrainer(fusion, sft, mesh=mesh)
+        paths = T.trainable_paths(trainer.partition)
+        assert any("lora_a" in p for p in paths)
+        assert any("dna_projection" in p for p in paths)
+        assert not any(p.startswith("encoder") for p in paths)
+        assert not any("embed" in p for p in paths)
+
+    def test_tp_mesh_runs(self):
+        fusion, sft = tiny_cfgs()
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2))
+        trainer = SFTTrainer(fusion, sft, mesh=mesh)
+        batch = make_batch(n=4, seed=3)
+        m = trainer.train_step(batch)
+        assert np.isfinite(m["loss"])
+
+    def test_eval_step(self):
+        fusion, sft = tiny_cfgs()
+        trainer = SFTTrainer(fusion, sft, mesh=make_mesh(MeshConfig(data=8)))
+        loss = trainer.eval_step(make_batch(n=4, seed=4))
+        assert np.isfinite(loss)
