@@ -22,7 +22,12 @@ A100_BASELINE_EXAMPLES_PER_SEC = 4.0
 
 
 def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -64,7 +69,7 @@ def main():
         labels=labels).items()}
 
     @jax.jit
-    def step(train_leaves, opt_state, batch):
+    def step(train_leaves, frozen_leaves, opt_state, batch):
         def loss_fn(train):
             p = T.combine(partition, train, frozen_leaves)
             _, loss = fusion_forward(p, cfg, batch["input_ids"], batch["attention_mask"],
@@ -75,15 +80,16 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, train_leaves)
         return optax.apply_updates(train_leaves, updates), opt_state, loss
 
-    # warmup/compile
-    train_leaves, opt_state, loss = step(train_leaves, opt_state, batch)
-    jax.block_until_ready(loss)
+    # warmup/compile (two steps: compile + steady-state)
+    for _ in range(2):
+        train_leaves, opt_state, loss = step(train_leaves, frozen_leaves, opt_state, batch)
+        _ = float(loss)   # force full device sync via host transfer
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        train_leaves, opt_state, loss = step(train_leaves, opt_state, batch)
-    jax.block_until_ready(loss)
+        train_leaves, opt_state, loss = step(train_leaves, frozen_leaves, opt_state, batch)
+    _ = float(loss)       # chain-dependency sync: all steps must have run
     dt = time.perf_counter() - t0
 
     examples_per_sec = B * n_steps / dt

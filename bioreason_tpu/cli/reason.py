@@ -103,6 +103,11 @@ def main(argv=None):
                                          args.num_generations, args.seed, epoch):
             metrics = trainer.step([prompts[i] for i in idx])
             logger.log({f"grpo/{k}": v for k, v in metrics.items()}, step=step)
+            if getattr(trainer, "last_completions", None):
+                # log_completions (reference grpo_config.py:344-354, :718-738)
+                logger.log_table("completions", ["step", "completion"],
+                                 [[step, c[:400]] for c in trainer.last_completions[:4]],
+                                 step=step)
             step += 1
             if step >= steps:
                 break

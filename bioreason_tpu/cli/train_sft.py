@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--no_lora", action="store_true", help="full finetune")
     p.add_argument("--bucket", type=int, default=128)
     p.add_argument("--eval_every", type=int, default=0, help="val loss every N steps")
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="log a sampled generation every N steps (reference "
+                        "train_dna_qwen.py:217-328)")
+    p.add_argument("--grad_accum_steps", type=int, default=1)
     p.add_argument("--test_generative", action="store_true",
                    help="run the generative substring-match eval after training")
     p.add_argument("--test_labels", nargs=2, default=None,
@@ -66,7 +70,8 @@ def main(argv=None):
     steps_per_epoch = max(1, len(train_items) // args.batch_size)
     total_steps = args.max_steps or steps_per_epoch * args.num_epochs
     sft_cfg = SFTConfig(
-        batch_size=args.batch_size, max_length_text=args.max_length_text,
+        batch_size=args.batch_size, grad_accum_steps=args.grad_accum_steps,
+        max_length_text=args.max_length_text,
         max_length_dna=args.max_length_dna, bucket=args.bucket,
         optim=OptimConfig(learning_rate=args.learning_rate, total_steps=total_steps),
         lora=None if args.no_lora else LoRAConfig(r=args.lora_r, alpha=args.lora_alpha),
@@ -96,6 +101,23 @@ def main(argv=None):
             val_losses = [trainer.eval_step(b) for b in batch_iterator(
                 val_items, val_collate, args.batch_size, shuffle=False, epochs=1)]
             logger.log({"val/loss": float(np.mean(val_losses))}, step=step)
+        if args.sample_every and step % args.sample_every == 0:
+            from bioreason_tpu.data.chat_template import render_chat
+            from bioreason_tpu.train.eval import _prompt_messages
+            engine = GenerationEngine(fusion_cfg, eos_token_id=tok.eos_token_id)
+            ex = train_items[0]
+            rendered = render_chat(_prompt_messages(ex), add_generation_prompt=True)
+            pout = proc(text=[rendered], batch_dna_sequences=[ex["dna_sequences"]],
+                        max_length_text=args.max_length_text,
+                        max_length_dna=args.max_length_dna)
+            gen_ids, gen_mask = engine.generate(
+                trainer.params, pout.input_ids, pout.attention_mask,
+                pout.dna_input_ids, pout.dna_attention_mask,
+                max_new_tokens=args.max_new_tokens)
+            gen_text = tok.decode(gen_ids[0][gen_mask[0].astype(bool)],
+                                  skip_special_tokens=False)
+            logger.log_table("train_samples", ["step", "prompt", "generation", "answer"],
+                             [[step, rendered[-200:], gen_text, ex["answer"]]], step=step)
         if args.max_steps and step >= args.max_steps:
             break
 

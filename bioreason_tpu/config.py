@@ -178,6 +178,7 @@ class OptimConfig:
 @dataclass(frozen=True)
 class SFTConfig:
     batch_size: int = 4
+    grad_accum_steps: int = 1        # reference pl.Trainer accumulate_grad_batches
     max_length_text: int = 512
     max_length_dna: int = 2048
     bucket: int = 128

@@ -40,7 +40,8 @@ class GenerationEngine:
         self.pad_token_id = pad_token_id if pad_token_id is not None else eos_token_id
         self._jit_generate = jax.jit(
             self._generate,
-            static_argnames=("max_new_tokens", "temperature", "top_k", "top_p", "greedy"),
+            static_argnames=("max_new_tokens", "temperature", "top_k", "top_p",
+                             "greedy", "group_size"),
         )
 
     # -- core jitted routine -------------------------------------------------
@@ -48,7 +49,7 @@ class GenerationEngine:
     def _generate(self, params, rng, input_ids, attention_mask,
                   dna_input_ids, dna_attention_mask,
                   max_new_tokens: int, temperature: float, top_k: int,
-                  top_p: float, greedy: bool):
+                  top_p: float, greedy: bool, group_size: int = 1):
         cfg = self.cfg.decoder
         b, p = input_ids.shape
         total = p + max_new_tokens
@@ -66,6 +67,18 @@ class GenerationEngine:
             cache=cache, cache_index=0, cache_mask=cache_mask0)
         # prompts are LEFT-padded: last column is the last real token for every row
         last_logits = logits[:, -1, :]
+
+        if group_size > 1:
+            # GRPO prefix sharing: prefill ran once per UNIQUE prompt; expand
+            # the cache G times (contiguous per group, matching the repeat
+            # sampler's group layout) before sampling G completions each.
+            # Replaces the reference's G-fold redundant prefill through
+            # HF generate (grpo_trainer.py:579-596).
+            cache = {k: jnp.repeat(v, group_size, axis=1) for k, v in cache.items()}
+            last_logits = jnp.repeat(last_logits, group_size, axis=0)
+            attention_mask = jnp.repeat(attention_mask, group_size, axis=0)
+            cache_mask0 = jnp.repeat(cache_mask0, group_size, axis=0)
+            b = b * group_size
 
         prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)   # [B]
         out_tokens = jnp.full((b, max_new_tokens), self.pad_token_id, jnp.int32)
@@ -117,9 +130,13 @@ class GenerationEngine:
                  dna_input_ids=None, dna_attention_mask=None,
                  sampling: SamplingConfig = SamplingConfig(),
                  max_new_tokens: Optional[int] = None,
-                 greedy: bool = False, rng: Optional[jax.Array] = None
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (completion_ids [B, max_new], completion_mask [B, max_new])."""
+                 greedy: bool = False, rng: Optional[jax.Array] = None,
+                 group_size: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (completion_ids [B*group_size, max_new], completion_mask).
+
+        With group_size G > 1, each input row is treated as one GRPO prompt:
+        it is prefilled ONCE and G completions are sampled from the shared
+        KV cache (output rows are group-contiguous)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mnt = max_new_tokens if max_new_tokens is not None else sampling.max_new_tokens
         tokens, mask = self._jit_generate(
@@ -128,5 +145,6 @@ class GenerationEngine:
             None if dna_input_ids is None else jnp.asarray(dna_input_ids),
             None if dna_attention_mask is None else jnp.asarray(dna_attention_mask),
             max_new_tokens=mnt, temperature=sampling.temperature,
-            top_k=sampling.top_k, top_p=sampling.top_p, greedy=greedy)
+            top_k=sampling.top_k, top_p=sampling.top_p, greedy=greedy,
+            group_size=group_size)
         return np.asarray(tokens), np.asarray(mask)

@@ -59,7 +59,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         k = k_ref[0].astype(jnp.float32)                       # [BK, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BQ, BK]
-        mask = mask_ref[0, :] > 0                              # [BK]
+        mask = mask_ref[0, 0, :] > 0                           # [BK]
         valid = jnp.broadcast_to(mask[None, :], s.shape)
         if causal:
             valid = valid & (k_pos <= q_pos)
@@ -76,16 +76,16 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_scr[:] = acc_scr[:] * alpha[:, None] + pv
-        m_scr[:, 0] = m_cur
-        l_scr[:, 0] = l_cur
+        m_scr[:] = jnp.broadcast_to(m_cur[:, None], m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_cur[:, None], l_scr.shape)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         l = l_scr[:, 0]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / l_safe[:, None]).astype(o_ref.dtype)
-        lse_ref[0] = jnp.where(l == 0.0, NEG_INF,
-                               m_scr[:, 0] + jnp.log(l_safe)).astype(lse_ref.dtype)
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
+                                  m_scr[:, 0] + jnp.log(l_safe)).astype(lse_ref.dtype)
 
 
 def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -110,18 +110,18 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        mask = mask_ref[0, :] > 0
+        mask = mask_ref[0, 0, :] > 0
         valid = jnp.broadcast_to(mask[None, :], s.shape)
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
             k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = valid & (k_pos <= q_pos)
-        p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
 
         do = do_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0, 0][:, None])
         dq_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32) * scale
 
@@ -154,20 +154,20 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)   # [BQ, BK]
-        mask = mask_ref[0, :] > 0
+        mask = mask_ref[0, 0, :] > 0
         valid = jnp.broadcast_to(mask[None, :], s.shape)
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
             k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = valid & (k_pos <= q_pos)
-        p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, None]), 0.0)    # [BQ, BK]
+        p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)  # [BQ, BK]
 
         do = do_ref[0].astype(jnp.float32)                             # [BQ, D]
         dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)   # [BQ, BK]
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0, 0][:, None])
         # q is already scaled above, which supplies the d(s)/d(k) scale factor
         dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -210,22 +210,22 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, q_offset, block_q, block_k, interp
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, tq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
@@ -247,7 +247,8 @@ def _flash_bwd(causal, q_offset, block_q, block_k, interpret, res, g):
     scale = d ** -0.5
     nq, nk = tq // block_q, tk // block_k
 
-    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [BH,Tq]
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32),
+                    axis=-1)[:, None, :]                                 # [BH,1,Tq]
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
@@ -255,13 +256,13 @@ def _flash_bwd(causal, q_offset, block_q, block_k, interpret, res, g):
                           num_k_blocks=nk),
         grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
@@ -275,13 +276,13 @@ def _flash_bwd(causal, q_offset, block_q, block_k, interpret, res, g):
                           num_q_blocks=nq),
         grid=(bh, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b, j, i: (b, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b // group, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b // group, j, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
@@ -340,7 +341,7 @@ def flash_attention(q, k, v, kv_mask=None, causal=False, q_offset=None,
     qf = q.transpose(0, 2, 1, 3).reshape(b * hq, tq_p, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, tk_p, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, tk_p, d)
-    maskf = jnp.repeat(kv_mask, hq, axis=0)                    # [B*Hq, Tk]
+    maskf = jnp.repeat(kv_mask, hq, axis=0)[:, None, :]        # [B*Hq, 1, Tk]
 
     out = _flash(qf, kf, vf, maskf, causal, q_offset, block_q, block_k, interpret)
     out = out.reshape(b, hq, tq_p, d).transpose(0, 2, 1, 3)

@@ -36,8 +36,12 @@ def save_checkpoint(path: str, params: Dict, step: int = 0, stage: str = "sft",
         json.dump(meta, f)
     params = jax.tree.map(np.asarray, params)        # gather to host
     if _HAS_ORBAX:
+        import shutil
+        target = os.path.join(path, "params")
+        if os.path.exists(target):                   # overwrite semantics
+            shutil.rmtree(target)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, "params"), params)
+        ckptr.save(target, params)
         ckptr.wait_until_finished()
     else:                                            # pragma: no cover
         flat, _ = jax.tree_util.tree_flatten_with_path(params)

@@ -48,6 +48,22 @@ class MetricsLogger:
                              for k, v in row.items() if k != "time")
             print(parts, flush=True)
 
+    def log_table(self, name: str, columns, rows, step: Optional[int] = None):
+        """Structured table (wandb Table when available, JSONL rows always) —
+        the reference's generation/completions tables
+        (train_dna_qwen.py:317-328, grpo_trainer.py:718-738)."""
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"table": name, "columns": list(columns),
+                                          "rows": rows, "step": step}) + "\n")
+            self._jsonl.flush()
+        if self._wandb:
+            try:
+                import wandb
+                self._wandb.log({name: wandb.Table(columns=list(columns), data=rows)},
+                                step=step)
+            except Exception:
+                pass
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()

@@ -74,6 +74,10 @@ class SFTTrainer:
         self.train_leaves, self.frozen_leaves = T.split(self.partition, params)
 
         self.tx, self.schedule = make_optimizer(cfg.optim)
+        if cfg.grad_accum_steps > 1:
+            # gradient accumulation (reference accumulate_grad_batches,
+            # train_dna_qwen.py:1001): optimizer applies every N micro-steps
+            self.tx = optax.MultiSteps(self.tx, cfg.grad_accum_steps)
         opt_shapes = jax.eval_shape(self.tx.init, self.train_leaves)
         opt_shardings = jax.tree.map(lambda s: _zero2_sharding(s, self.mesh), opt_shapes)
         self.opt_state = jax.jit(self.tx.init, out_shardings=opt_shardings)(self.train_leaves)

@@ -1,0 +1,196 @@
+"""Import HuggingFace checkpoints into bioreason_tpu param trees.
+
+The reference loads pretrained towers straight from HF hub
+(dna_llm.py:64-90). This environment has no network access, so import works
+from LOCAL safetensors/torch files: point it at a downloaded Qwen3 or NT-v2
+directory and it produces the stacked param pytree the models here consume
+(HF [out,in] kernels transposed to [in,out], per-layer tensors stacked along
+the leading scan axis).
+
+`import_qwen3` covers the Qwen3 family exactly. `import_with_map` is the
+generic engine: a list of (regex -> path-template) rules over the flat HF
+state dict, used for NT-v2/ESM variants whose remote-code naming differs per
+checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from bioreason_tpu.config import DecoderConfig, EncoderConfig
+
+
+def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from a local HF checkpoint dir (safetensors preferred,
+    torch .bin fallback)."""
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+        for f in st_files:
+            with safe_open(os.path.join(path, f), framework="np") as sf:
+                for key in sf.keys():
+                    tensors[key] = sf.get_tensor(key)
+        return tensors
+    bin_files = sorted(f for f in os.listdir(path)
+                       if f.endswith(".bin") and f.startswith("pytorch_model"))
+    if not bin_files:
+        raise FileNotFoundError(f"no safetensors/bin weights in {path}")
+    import torch
+    for f in bin_files:
+        sd = torch.load(os.path.join(path, f), map_location="cpu", weights_only=True)
+        for k, v in sd.items():
+            tensors[k] = v.float().numpy()
+    return tensors
+
+
+def _set(tree: Dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _stack_layers(per_layer: Dict[int, np.ndarray]) -> np.ndarray:
+    n = max(per_layer) + 1
+    return np.stack([per_layer[i] for i in range(n)], axis=0)
+
+
+def import_qwen3(state: Dict[str, np.ndarray], cfg: DecoderConfig,
+                 dtype=np.float32) -> Dict:
+    """HF Qwen3 state dict -> decoder param tree (models/qwen3.py layout)."""
+    def get(k):
+        return state[k].astype(dtype)
+
+    layered: Dict[str, Dict[int, np.ndarray]] = {}
+
+    def put_layer(dst: str, i: int, arr: np.ndarray):
+        layered.setdefault(dst, {})[i] = arr
+
+    params: Dict = {}
+    _set(params, "embed/embedding", get("model.embed_tokens.weight"))
+    _set(params, "final_norm/scale", get("model.norm.weight"))
+    if not cfg.tie_word_embeddings and "lm_head.weight" in state:
+        _set(params, "lm_head/kernel", get("lm_head.weight").T)
+
+    pat = re.compile(r"model\.layers\.(\d+)\.(.+)")
+    mapping = {
+        "self_attn.q_proj.weight": ("attn/q/kernel", True),
+        "self_attn.k_proj.weight": ("attn/k/kernel", True),
+        "self_attn.v_proj.weight": ("attn/v/kernel", True),
+        "self_attn.o_proj.weight": ("attn/o/kernel", True),
+        "self_attn.q_norm.weight": ("attn/q_norm/scale", False),
+        "self_attn.k_norm.weight": ("attn/k_norm/scale", False),
+        "input_layernorm.weight": ("ln1/scale", False),
+        "post_attention_layernorm.weight": ("ln2/scale", False),
+        "mlp.gate_proj.weight": ("mlp/gate/kernel", True),
+        "mlp.up_proj.weight": ("mlp/up/kernel", True),
+        "mlp.down_proj.weight": ("mlp/down/kernel", True),
+    }
+    for key in state:
+        m = pat.match(key)
+        if not m:
+            continue
+        i, sub = int(m.group(1)), m.group(2)
+        if sub not in mapping:
+            continue
+        dst, transpose = mapping[sub]
+        arr = get(key)
+        put_layer(dst, i, arr.T if transpose else arr)
+
+    layers: Dict = {}
+    for dst, per_layer in layered.items():
+        _set(layers, dst, _stack_layers(per_layer))
+    params["layers"] = layers
+    return params
+
+
+MapRule = Tuple[str, str, bool]  # (regex with (?P<i>...) , dst template, transpose)
+
+# Starting-point rules for NT-v2-style ESM checkpoints (remote-code naming
+# varies between releases; override per checkpoint as needed).
+NT_V2_RULES: List[MapRule] = [
+    (r"esm\.embeddings\.word_embeddings\.weight", "embed/embedding", False),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.query\.weight", "layers/attn/q/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.key\.weight", "layers/attn/k/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.value\.weight", "layers/attn/v/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.output\.dense\.weight", "layers/attn/o/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.LayerNorm\.weight", "layers/ln1/scale", False),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.LayerNorm\.bias", "layers/ln1/bias", False),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.intermediate\.dense\.weight", "layers/mlp/up/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.gate\.dense\.weight", "layers/mlp/gate/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.output\.dense\.weight", "layers/mlp/down/kernel", True),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.LayerNorm\.weight", "layers/ln2/scale", False),
+    (r"esm\.encoder\.layer\.(?P<i>\d+)\.LayerNorm\.bias", "layers/ln2/bias", False),
+    (r"esm\.encoder\.emb_layer_norm_after\.weight", "final_norm/scale", False),
+    (r"esm\.encoder\.emb_layer_norm_after\.bias", "final_norm/bias", False),
+]
+
+
+def import_with_map(state: Dict[str, np.ndarray], rules: Iterable[MapRule],
+                    dtype=np.float32, strict: bool = False) -> Dict:
+    """Generic regex-driven importer. Per-layer matches (rules whose regex
+    captures group 'i') are stacked along a leading layer axis."""
+    params: Dict = {}
+    layered: Dict[str, Dict[int, np.ndarray]] = {}
+    unmatched = []
+    compiled = [(re.compile(rx), dst, t) for rx, dst, t in rules]
+    for key, arr in state.items():
+        hit = False
+        for rx, dst, transpose in compiled:
+            m = rx.fullmatch(key)
+            if not m:
+                continue
+            a = arr.astype(dtype)
+            if transpose:
+                a = a.T
+            if "i" in (m.groupdict() or {}):
+                layered.setdefault(dst, {})[int(m.group("i"))] = a
+            else:
+                _set(params, dst, a)
+            hit = True
+            break
+        if not hit:
+            unmatched.append(key)
+    for dst, per_layer in layered.items():
+        _set(params, dst, _stack_layers(per_layer))
+    if strict and unmatched:
+        raise KeyError(f"unmatched HF keys: {unmatched[:10]} (+{len(unmatched) - 10})")
+    return params
+
+
+def export_decoder_to_hf(params: Dict, cfg: DecoderConfig) -> Dict[str, np.ndarray]:
+    """Inverse of import_qwen3 (round-trip testing + interop export)."""
+    out: Dict[str, np.ndarray] = {}
+    out["model.embed_tokens.weight"] = np.asarray(params["embed"]["embedding"])
+    out["model.norm.weight"] = np.asarray(params["final_norm"]["scale"])
+    if "lm_head" in params:
+        out["lm_head.weight"] = np.asarray(params["lm_head"]["kernel"]).T
+    layers = params["layers"]
+    mapping = {
+        "attn/q/kernel": ("self_attn.q_proj.weight", True),
+        "attn/k/kernel": ("self_attn.k_proj.weight", True),
+        "attn/v/kernel": ("self_attn.v_proj.weight", True),
+        "attn/o/kernel": ("self_attn.o_proj.weight", True),
+        "attn/q_norm/scale": ("self_attn.q_norm.weight", False),
+        "attn/k_norm/scale": ("self_attn.k_norm.weight", False),
+        "ln1/scale": ("input_layernorm.weight", False),
+        "ln2/scale": ("post_attention_layernorm.weight", False),
+        "mlp/gate/kernel": ("mlp.gate_proj.weight", True),
+        "mlp/up/kernel": ("mlp.up_proj.weight", True),
+        "mlp/down/kernel": ("mlp.down_proj.weight", True),
+    }
+    for src, (hf_name, transpose) in mapping.items():
+        node = layers
+        for p in src.split("/")[:-1]:
+            node = node[p]
+        stacked = np.asarray(node[src.split("/")[-1]])
+        for i in range(stacked.shape[0]):
+            arr = stacked[i].T if transpose else stacked[i]
+            out[f"model.layers.{i}.{hf_name}"] = arr
+    return out

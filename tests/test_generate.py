@@ -119,3 +119,28 @@ class TestSampling:
         mask = completion_mask_from_eos(toks, EOS)
         np.testing.assert_array_equal(np.asarray(mask),
                                       [[1, 1, 0, 0], [1, 1, 1, 1]])
+
+
+class TestGroupedGeneration:
+    def test_group_size_shapes_and_grouping(self):
+        ids = np.array([[3, 5, 9, 11], [1, 2, 3, 4]], np.int32)
+        mask = np.ones_like(ids)
+        toks, cmask = ENGINE.generate(PARAMS, ids, mask, greedy=True,
+                                      max_new_tokens=5, group_size=3)
+        assert toks.shape == (6, 5) and cmask.shape == (6, 5)
+        # greedy: all G copies of a group must be identical, and equal to the
+        # ungrouped generation for that prompt
+        single, _ = ENGINE.generate(PARAMS, ids, mask, greedy=True, max_new_tokens=5)
+        for g in range(3):
+            np.testing.assert_array_equal(toks[g], single[0])
+            np.testing.assert_array_equal(toks[3 + g], single[1])
+
+    def test_group_sampling_varies_within_group(self):
+        ids = np.array([[3, 5, 9, 11]], np.int32)
+        mask = np.ones_like(ids)
+        s = SamplingConfig(temperature=1.5, top_k=50, top_p=1.0)
+        toks, _ = ENGINE.generate(PARAMS, ids, mask, sampling=s,
+                                  max_new_tokens=6, group_size=4,
+                                  rng=jax.random.PRNGKey(5))
+        rows = {tuple(r) for r in toks.tolist()}
+        assert len(rows) > 1, "all group samples identical"
