@@ -39,11 +39,13 @@ def main():
     from bioreason_tpu.train.lora import attach_lora
     from bioreason_tpu.train.optim import make_optimizer
 
+    import dataclasses
     B, T_TEXT, S_DNA, L_DNA = 4, 768, 8, 128
 
     cfg = FusionConfig(
-        decoder=DecoderConfig.qwen3_0_6b(vocab_size=151936),
-        encoder=EncoderConfig.nt_v2_500m(),
+        decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
+                                    remat=False),
+        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
         dna_pad_token_id=151938,
     )
     rng = jax.random.PRNGKey(0)
@@ -51,6 +53,9 @@ def main():
     params = attach_lora(jax.random.fold_in(rng, 1), params, LoRAConfig(r=32, alpha=64))
     partition = T.make_partition(params, T.LORA_TRAINABLE)
     train_leaves, frozen_leaves = T.split(partition, params)
+    # frozen base weights in bf16 (no fp32 master needed; halves base HBM)
+    frozen_leaves = [l.astype(jnp.bfloat16) if l.dtype == jnp.float32 and l.ndim >= 2
+                     else l for l in frozen_leaves]
     tx, _ = make_optimizer(OptimConfig(total_steps=100))
     opt_state = tx.init(train_leaves)
 

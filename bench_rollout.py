@@ -1,0 +1,70 @@
+"""GRPO rollout throughput benchmark (BASELINE target: >=5k tokens/s/chip).
+
+Measures the jitted prefill+decode engine on the flagship shape: NT-500M-class
+encoder + Qwen3-0.6B-class decoder, 8 unique prompts x G=8 grouped completions
+with prefix-shared prefill, temperature/top-p/top-k sampling at the reference
+values. Prints one JSON line: decoded tokens per second per chip.
+"""
+
+import json
+import time
+
+
+def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    import dataclasses
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from bioreason_tpu.config import (DecoderConfig, EncoderConfig, FusionConfig,
+                                      SamplingConfig)
+    from bioreason_tpu.generate.engine import GenerationEngine
+    from bioreason_tpu.models import init_fusion
+
+    N_PROMPTS, G, P_TEXT, S_DNA, L_DNA, NEW = 8, 8, 256, 16, 128, 128
+
+    cfg = FusionConfig(
+        decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
+                                    remat=False),
+        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
+        dna_pad_token_id=151938,
+    )
+    params = init_fusion(jax.random.PRNGKey(0), cfg)
+    engine = GenerationEngine(cfg, eos_token_id=-1)  # no eos: decode all NEW tokens
+
+    npr = np.random.default_rng(0)
+    input_ids = npr.integers(0, 150000, (N_PROMPTS, P_TEXT)).astype(np.int32)
+    per_item = (S_DNA // N_PROMPTS) * L_DNA
+    for b in range(N_PROMPTS):
+        input_ids[b, 1:1 + per_item] = cfg.dna_pad_token_id
+    dna_ids = npr.integers(6, 4102, (S_DNA, L_DNA)).astype(np.int32)
+    dna_mask = np.ones((S_DNA, L_DNA), np.int32)
+    attention_mask = np.ones((N_PROMPTS, P_TEXT), np.int32)
+    sampling = SamplingConfig(temperature=0.6, top_p=0.95, top_k=20)
+
+    def run(rng):
+        toks, mask = engine.generate(
+            params, input_ids, attention_mask, dna_ids, dna_mask,
+            sampling=sampling, max_new_tokens=NEW,
+            rng=jax.random.PRNGKey(rng), group_size=G)
+        return int(np.asarray(mask).sum())
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    total = sum(run(i + 1) for i in range(3))
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = total / dt
+    print(json.dumps({
+        "metric": "grpo_rollout_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec / 5000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

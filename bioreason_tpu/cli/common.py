@@ -31,6 +31,25 @@ ENCODER_PRESETS = {
     "nt-250m": EncoderConfig.nt_v2_250m,
     "nt-500m": EncoderConfig.nt_v2_500m,
 }
+HYENA_PRESETS = {
+    "evo2-tiny": HyenaConfig.tiny,
+    "evo2-1b": HyenaConfig.evo2_1b,
+}
+
+
+def build_encoder_config(name: str, dna_embedding_layer: int = -1):
+    """Returns (encoder_kind, EncoderConfig or None, HyenaConfig or None,
+    dna_tokenizer). Evo2 presets use the char tokenizer + optional named-layer
+    embedding tap (reference --dna_embedding_layer, dna_llm.py:127-146)."""
+    import dataclasses
+    from bioreason_tpu.data.char_tokenizer import CharDNATokenizer
+    from bioreason_tpu.data.nt_tokenizer import KmerTokenizer
+    if name in HYENA_PRESETS:
+        hy = HYENA_PRESETS[name]()
+        if dna_embedding_layer >= 0:
+            hy = dataclasses.replace(hy, embedding_tap_layer=dna_embedding_layer)
+        return "evo2", EncoderConfig.tiny(), hy, CharDNATokenizer()
+    return "nt", ENCODER_PRESETS[name](), None, KmerTokenizer()
 
 
 def load_items(dataset_type: str, data_dir: str | None, n_synthetic: int,
@@ -43,7 +62,8 @@ def load_items(dataset_type: str, data_dir: str | None, n_synthetic: int,
     variant_effect_* expect JSONL/JSON dirs with question/answer/sequences.
     """
     if data_dir:
-        raw = list(KEGGDataset(data_dir).data)
+        from bioreason_tpu.data.loaders import load_local_dataset
+        raw = load_local_dataset(data_dir)
     else:
         raw = synthetic_kegg_items(n_synthetic, seq_len=512, seed=seed)
 

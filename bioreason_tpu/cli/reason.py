@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--max_completion_length", type=int, default=800)
     p.add_argument("--lora_r", type=int, default=64)
     p.add_argument("--lora_alpha", type=int, default=64)
+    p.add_argument("--save_every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
@@ -93,6 +95,10 @@ def main(argv=None):
 
     trainer = GRPOTrainer(fusion_cfg, cfg, proc, get_reward_funcs(args.reward_funcs),
                           mesh=build_mesh(args.mesh), params=params)
+    state_path = os.path.join(args.checkpoint_dir, "grpo_state")
+    if args.resume and os.path.exists(state_path):
+        trainer.restore(state_path)
+        print(f"resumed from {state_path} at step {trainer.step_count}")
     logger = MetricsLogger(args.log_dir, use_wandb=args.wandb, config=vars(args))
 
     n_prompts_per_step = args.batch_size // args.num_generations
@@ -109,6 +115,8 @@ def main(argv=None):
                                  [[step, c[:400]] for c in trainer.last_completions[:4]],
                                  step=step)
             step += 1
+            if args.save_every and step % args.save_every == 0:
+                trainer.save(state_path)
             if step >= steps:
                 break
         epoch += 1

@@ -16,10 +16,14 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    from bioreason_tpu.cli.common import add_common_args, DECODER_PRESETS, ENCODER_PRESETS
+    from bioreason_tpu.cli.common import (add_common_args, DECODER_PRESETS,
+                                          ENCODER_PRESETS, HYENA_PRESETS)
     add_common_args(p)
     p.add_argument("--decoder", default="qwen3-0.6b", choices=sorted(DECODER_PRESETS))
-    p.add_argument("--encoder", default="nt-500m", choices=sorted(ENCODER_PRESETS))
+    p.add_argument("--encoder", default="nt-500m",
+                   choices=sorted(ENCODER_PRESETS) + sorted(HYENA_PRESETS))
+    p.add_argument("--dna_embedding_layer", type=int, default=-1,
+                   help="Evo2 named-layer embedding tap (block index)")
     p.add_argument("--llm_only", action="store_true",
                    help="paste DNA into text instead of encoder fusion")
     p.add_argument("--lora_r", type=int, default=32)
@@ -31,6 +35,12 @@ def main(argv=None):
                    help="log a sampled generation every N steps (reference "
                         "train_dna_qwen.py:217-328)")
     p.add_argument("--grad_accum_steps", type=int, default=1)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of steps 2-4")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="periodic full-state checkpoint (params+optimizer+step)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <checkpoint_dir>/sft_state if present")
     p.add_argument("--test_generative", action="store_true",
                    help="run the generative substring-match eval after training")
     p.add_argument("--test_labels", nargs=2, default=None,
@@ -55,15 +65,18 @@ def main(argv=None):
     from bioreason_tpu.train.metrics import MetricsLogger, StepTimer
     from bioreason_tpu.train.sft import SFTTrainer
 
+    from bioreason_tpu.cli.common import build_encoder_config
     tok = ByteTextTokenizer()
-    proc = BioProcessor(tok, KmerTokenizer())
+    encoder_kind, enc_cfg, hyena_cfg, dna_tok = build_encoder_config(
+        args.encoder, args.dna_embedding_layer)
+    proc = BioProcessor(tok, dna_tok)
     train_items, val_items, test_items = load_items(
         args.dataset_type, args.data_dir, args.n_synthetic,
         args.truncate_dna_per_side, args.seed, llm_only=args.llm_only)
 
     fusion_cfg = FusionConfig(
         decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
-        encoder=ENCODER_PRESETS[args.encoder](),
+        encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
         dna_pad_token_id=tok.dna_pad_id,
         max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
 
@@ -79,6 +92,10 @@ def main(argv=None):
 
     mesh = build_mesh(args.mesh)
     trainer = SFTTrainer(fusion_cfg, sft_cfg, mesh=mesh)
+    state_path = os.path.join(args.checkpoint_dir, "sft_state")
+    if args.resume and os.path.exists(state_path):
+        trainer.restore(state_path)
+        print(f"resumed from {state_path} at step {trainer.step}")
     logger = MetricsLogger(args.log_dir, use_wandb=args.wandb, config=vars(args))
     timer = StepTimer()
 
@@ -88,9 +105,18 @@ def main(argv=None):
                                 bucket=args.bucket)
     val_collate = collate
 
+    from bioreason_tpu.utils.profiling import trace as profiler_trace
+    import contextlib
+
     step = 0
+    prof = contextlib.nullcontext()
     for batch in batch_iterator(train_items, collate, args.batch_size,
                                 seed=args.seed, epochs=args.num_epochs):
+        if args.profile_dir and step == 2:
+            prof = profiler_trace(args.profile_dir)
+            prof.__enter__()
+        if args.profile_dir and step == 5:
+            prof.__exit__(None, None, None)
         timer.start()
         metrics = trainer.train_step(batch)
         metrics["step_time"] = timer.stop()
@@ -118,6 +144,8 @@ def main(argv=None):
                                   skip_special_tokens=False)
             logger.log_table("train_samples", ["step", "prompt", "generation", "answer"],
                              [[step, rendered[-200:], gen_text, ex["answer"]]], step=step)
+        if args.save_every and step % args.save_every == 0:
+            trainer.save(state_path)
         if args.max_steps and step >= args.max_steps:
             break
 

@@ -186,6 +186,7 @@ class SFTConfig:
     lora: Optional[LoRAConfig] = field(default_factory=LoRAConfig)
     train_projection: bool = True    # projection always trainable (dna_llm quirk list)
     freeze_encoder: bool = True      # reference de-facto freezes DNA tower
+    frozen_dtype: str = "bfloat16"   # frozen leaves need no fp32 master copy
     seed: int = 0
 
 

@@ -121,14 +121,32 @@ def fusion_forward(
     dna_attention_mask: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     train_encoder: bool = False,
+    train_embeddings: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Fused forward. Returns (logits, loss or None)."""
+    """Fused forward. Returns (logits, loss or None).
+
+    With `labels`, the loss uses the vocab-chunked fused CE (ops/fused_ce.py)
+    on the final hidden states — the [B,T,V] logits are never materialized —
+    and `logits` is returned as None. Call without labels to get logits.
+    """
     embeds = fused_input_embeddings(params, cfg, input_ids, dna_input_ids,
                                     dna_attention_mask, train_encoder)
-    logits, _ = decoder_forward(params["decoder"], cfg.decoder,
-                                inputs_embeds=embeds, attention_mask=attention_mask)
-    loss = None if labels is None else cross_entropy_loss(logits, labels)
-    return logits, loss
+    if labels is None:
+        logits, _ = decoder_forward(params["decoder"], cfg.decoder,
+                                    inputs_embeds=embeds, attention_mask=attention_mask)
+        return logits, None
+
+    from bioreason_tpu.ops.fused_ce import decoder_lm_loss
+    hidden, _ = decoder_forward(params["decoder"], cfg.decoder,
+                                inputs_embeds=embeds, attention_mask=attention_mask,
+                                return_hidden=True)
+    dec = params["decoder"]
+    head = (dec["lm_head"]["kernel"].T if "lm_head" in dec
+            else dec["embed"]["embedding"])
+    loss = decoder_lm_loss(hidden.astype(jnp.bfloat16) if cfg.decoder.dtype == "bfloat16"
+                           else hidden, head, labels,
+                           need_embedding_grad=train_embeddings)
+    return None, loss
 
 
 def fused_input_embeddings(params: Dict, cfg: FusionConfig, input_ids,

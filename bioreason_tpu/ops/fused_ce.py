@@ -1,0 +1,135 @@
+"""Vocab-chunked cross-entropy: logits never fully materialized in HBM.
+
+The SFT loss over a 151936-token vocab is bandwidth-bound if the [B,T,V]
+fp32 logits round-trip through HBM (reference relies on HF's dense CE,
+dna_llm.py:237-242). Here the LM head matmul and the log-sum-exp are fused by
+scanning over vocab chunks with an online (max, sumexp, gold) accumulator —
+peak memory is [B*T, chunk] instead of [B*T, V].
+
+Backward recomputes per-chunk logits from the saved (hidden, lse) and feeds
+dlogits = (softmax - onehot) straight into the two matmuls, so the full
+softmax matrix is never stored either. FLOPs are ~2x the naive CE's head
+FLOPs (recompute), traded for ~V/chunk less HBM traffic — a win whenever the
+head is bandwidth-bound (it is, at bf16 on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK = 8192
+
+
+def _chunked_lse_and_gold(h, emb, targets, chunk):
+    """h [N,H] (bf16 ok), emb [V,H], targets [N] -> (lse [N], gold [N])."""
+    v = emb.shape[0]
+    n_chunks = (v + chunk - 1) // chunk
+    v_pad = n_chunks * chunk
+    emb_p = jnp.pad(emb, ((0, v_pad - v), (0, 0)))
+
+    def body(carry, ci):
+        m, s, gold = carry
+        w = jax.lax.dynamic_slice(emb_p, (ci * chunk, 0), (chunk, emb.shape[1]))
+        logits = jnp.dot(h, w.T, preferred_element_type=jnp.float32)   # [N, chunk]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ci * chunk
+        logits = jnp.where(col < v, logits, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        s = s * jnp.exp(m - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=-1)
+        local = targets - ci * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        safe = jnp.clip(local, 0, chunk - 1)
+        g = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        gold = jnp.where(in_chunk, g, gold)
+        return (m_new, s, gold), None
+
+    n = h.shape[0]
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    (m, s, gold), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return m + jnp.log(s), gold
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_softmax_xent(hidden, embedding, targets, ignore_index=-100,
+                       chunk: int = DEFAULT_CHUNK,
+                       need_embedding_grad: bool = False):
+    """Mean CE over valid targets. hidden [N,H], embedding [V,H] (tied LM
+    head), targets [N] with ignore_index holes. Set need_embedding_grad=False
+    (default) when the head/embedding is frozen (LoRA runs): the backward then
+    skips the [V,H] grad accumulator entirely."""
+    loss, _ = _fwd(hidden, embedding, targets, ignore_index, chunk,
+                   need_embedding_grad)
+    return loss
+
+
+def _fwd(hidden, embedding, targets, ignore_index, chunk, need_embedding_grad=False):
+    valid = targets != ignore_index
+    safe_t = jnp.where(valid, targets, 0)
+    lse, gold = _chunked_lse_and_gold(hidden, embedding, safe_t, chunk)
+    nll = (lse - gold) * valid
+    denom = jnp.maximum(valid.sum(), 1)
+    loss = nll.sum() / denom
+    return loss, (hidden, embedding, safe_t, valid, lse, denom)
+
+
+def _bwd(ignore_index, chunk, need_embedding_grad, res, g):
+    hidden, embedding, safe_t, valid, lse, denom = res
+    v, hdim = embedding.shape
+    n = hidden.shape[0]
+    scale = (g / denom) * valid                                    # [N]
+    n_chunks = (v + chunk - 1) // chunk
+    v_pad = n_chunks * chunk
+    emb_p = jnp.pad(embedding, ((0, v_pad - v), (0, 0)))
+
+    def body(carry, ci):
+        w = jax.lax.dynamic_slice(emb_p, (ci * chunk, 0), (chunk, hdim))
+        logits = jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ci * chunk
+        probs = jnp.exp(jnp.where(col < v, logits, -jnp.inf) - lse[:, None])
+        onehot = (col == safe_t[:, None]).astype(jnp.float32)
+        dlogits = (probs - onehot) * scale[:, None]                 # [N, chunk]
+        if need_embedding_grad:
+            dh, demb = carry
+            dw = jnp.dot(dlogits.T, hidden.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)        # [chunk, H]
+            demb = jax.lax.dynamic_update_slice(
+                demb, dw + jax.lax.dynamic_slice(demb, (ci * chunk, 0), (chunk, hdim)),
+                (ci * chunk, 0))
+            carry_out = (dh + jnp.dot(dlogits, w.astype(jnp.float32),
+                                      preferred_element_type=jnp.float32), demb)
+        else:
+            dh = carry
+            carry_out = dh + jnp.dot(dlogits, w.astype(jnp.float32),
+                                     preferred_element_type=jnp.float32)
+        return carry_out, None
+
+    if need_embedding_grad:
+        init = (jnp.zeros((n, hdim), jnp.float32),
+                jnp.zeros((v_pad, hdim), jnp.float32))
+        (dh, demb), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        demb = demb[:v].astype(embedding.dtype)
+    else:
+        dh, _ = jax.lax.scan(body, jnp.zeros((n, hdim), jnp.float32),
+                             jnp.arange(n_chunks))
+        demb = jnp.zeros_like(embedding)
+    return dh.astype(hidden.dtype), demb, None
+
+
+fused_softmax_xent.defvjp(_fwd, _bwd)
+
+
+def decoder_lm_loss(hidden, embedding, labels, ignore_index=-100,
+                    chunk: int = DEFAULT_CHUNK, need_embedding_grad: bool = False):
+    """Shifted causal LM loss on final-norm hidden states [B,T,H] with a tied
+    embedding head — drop-in for cross_entropy_loss(logits, labels) without
+    the [B,T,V] logits."""
+    b, t, hdim = hidden.shape
+    h = hidden[:, :-1].reshape(-1, hdim)
+    y = labels[:, 1:].reshape(-1)
+    return fused_softmax_xent(h, embedding, y, ignore_index, chunk,
+                              need_embedding_grad)

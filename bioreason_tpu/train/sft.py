@@ -72,6 +72,15 @@ class SFTTrainer:
 
         self.partition = T.make_partition(params, trainable_regex)
         self.train_leaves, self.frozen_leaves = T.split(self.partition, params)
+        if cfg.frozen_dtype:
+            # frozen leaves carry no optimizer state and are cast to compute
+            # dtype every step anyway — store them directly in that dtype
+            # (halves base-model HBM vs fp32 masters)
+            fd = jnp.dtype(cfg.frozen_dtype)
+            self.frozen_leaves = [
+                l.astype(fd) if (hasattr(l, "dtype") and l.dtype == jnp.float32
+                                 and l.ndim >= 2) else l
+                for l in self.frozen_leaves]
 
         self.tx, self.schedule = make_optimizer(cfg.optim)
         if cfg.grad_accum_steps > 1:
@@ -97,7 +106,8 @@ class SFTTrainer:
                 batch["input_ids"], batch["attention_mask"],
                 batch.get("dna_input_ids"), batch.get("dna_attention_mask"),
                 labels=batch["labels"],
-                train_encoder=not self.cfg.freeze_encoder)
+                train_encoder=not self.cfg.freeze_encoder,
+                train_embeddings=self.cfg.lora is None)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(train_leaves)
@@ -148,3 +158,23 @@ class SFTTrainer:
     def params(self) -> Dict:
         """Full (reassembled) parameter tree."""
         return T.combine(self.partition, self.train_leaves, self.frozen_leaves)
+
+    # -- resume (reference: manual Lightning ckpt_path resume,
+    #    train_dna_qwen.py:975-982; here params + optimizer + step) ---------
+
+    def save(self, path: str, extra_metadata: Optional[Dict] = None):
+        from bioreason_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(path, {"params": self.params, "opt_state": self.opt_state},
+                        step=self.step, stage="sft", extra_metadata=extra_metadata)
+
+    def restore(self, path: str) -> "SFTTrainer":
+        from bioreason_tpu.train.checkpoint import load_checkpoint, load_metadata
+        state = load_checkpoint(path, like={"params": self.params,
+                                           "opt_state": self.opt_state})
+        train, frozen = T.split(self.partition, state["params"])
+        self.train_leaves, self.frozen_leaves = train, frozen
+        self.opt_state = jax.tree.map(
+            lambda like, new: jnp.asarray(new),
+            self.opt_state, state["opt_state"])
+        self.step = int(load_metadata(path).get("step", 0))
+        return self

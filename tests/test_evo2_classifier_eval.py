@@ -134,3 +134,40 @@ class TestEvalHarness:
         assert res.true_negatives + res.false_positives == 2
         assert os.path.exists(csv_path)
         assert 0.0 <= res.accuracy <= 1.0
+
+
+class TestTrainerResume:
+    def test_sft_save_restore_roundtrip(self, tmp_path):
+        from bioreason_tpu.config import (FusionConfig, SFTConfig, MeshConfig,
+                                          LoRAConfig, OptimConfig)
+        from bioreason_tpu.data.collate import sft_collate
+        from bioreason_tpu.data.kegg import format_kegg_for_dna_llm
+        from bioreason_tpu.parallel import make_mesh
+        from bioreason_tpu.train.sft import SFTTrainer
+        from bioreason_tpu.data import BioProcessor, KmerTokenizer, ByteTextTokenizer
+
+        tok = ByteTextTokenizer()
+        proc = BioProcessor(tok, KmerTokenizer())
+        fusion = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                   dna_pad_token_id=tok.dna_pad_id)
+        cfg = SFTConfig(batch_size=2, max_length_dna=64, bucket=None,
+                        optim=OptimConfig(learning_rate=1e-2, total_steps=10),
+                        lora=LoRAConfig(r=4, alpha=8))
+        mesh = make_mesh(MeshConfig(data=8))
+        trainer = SFTTrainer(fusion, cfg, mesh=mesh)
+        items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(2, seq_len=30)]
+        batch = sft_collate(items, proc, max_length_text=512, max_length_dna=64)
+        trainer.train_step(batch)
+        trainer.train_step(batch)
+        path = str(tmp_path / "state")
+        trainer.save(path)
+
+        trainer2 = SFTTrainer(fusion, cfg, mesh=mesh).restore(path)
+        assert trainer2.step == 2
+        l1 = trainer.eval_step(batch)
+        l2 = trainer2.eval_step(batch)
+        np.testing.assert_allclose(l1, l2, rtol=1e-5)
+        # training continues identically from the restored optimizer state
+        m1 = trainer.train_step(batch)
+        m2 = trainer2.train_step(batch)
+        np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-4)

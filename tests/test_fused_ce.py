@@ -1,0 +1,48 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioreason_tpu.models.qwen3 import cross_entropy_loss
+from bioreason_tpu.ops.fused_ce import decoder_lm_loss, fused_softmax_xent
+
+
+def dense_loss(hidden, emb, labels):
+    logits = jnp.einsum("bth,vh->btv", hidden, emb).astype(jnp.float32)
+    return cross_entropy_loss(logits, labels)
+
+
+@pytest.mark.parametrize("chunk", [7, 32, 4096])
+def test_matches_dense(chunk):
+    rng = np.random.default_rng(0)
+    B, T, H, V = 2, 10, 16, 50
+    hidden = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, V, (B, T)).astype(np.int32))
+    labels = labels.at[:, :3].set(-100)
+    l_fused = decoder_lm_loss(hidden, emb, labels, chunk=chunk)
+    l_dense = dense_loss(hidden, emb, labels)
+    np.testing.assert_allclose(float(l_fused), float(l_dense), rtol=1e-5)
+
+
+def test_gradients_match_dense():
+    rng = np.random.default_rng(1)
+    B, T, H, V = 2, 8, 12, 37
+    hidden = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, V, (B, T)).astype(np.int32))
+    labels = labels.at[0, :2].set(-100)
+
+    gf = jax.grad(lambda h, e: decoder_lm_loss(h, e, labels, chunk=16,
+                                               need_embedding_grad=True),
+                  argnums=(0, 1))(hidden, emb)
+    gd = jax.grad(lambda h, e: dense_loss(h, e, labels), argnums=(0, 1))(hidden, emb)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_all_ignored_is_zero_loss():
+    hidden = jnp.ones((1, 4, 8))
+    emb = jnp.ones((10, 8))
+    labels = jnp.full((1, 4), -100)
+    assert float(decoder_lm_loss(hidden, emb, labels, chunk=4)) == 0.0
