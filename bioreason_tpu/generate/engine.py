@@ -74,7 +74,7 @@ class GenerationEngine:
             # sampler's group layout) before sampling G completions each.
             # Replaces the reference's G-fold redundant prefill through
             # HF generate (grpo_trainer.py:579-596).
-            cache = {k: jnp.repeat(v, group_size, axis=1) for k, v in cache.items()}
+            cache = jax.tree.map(lambda a: jnp.repeat(a, group_size, axis=0), cache)
             last_logits = jnp.repeat(last_logits, group_size, axis=0)
             attention_mask = jnp.repeat(attention_mask, group_size, axis=0)
             cache_mask0 = jnp.repeat(cache_mask0, group_size, axis=0)

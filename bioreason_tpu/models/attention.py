@@ -34,31 +34,34 @@ def xla_attention(q, k, v, kv_mask=None, causal=False, q_offset=None,
                   logits_dtype=jnp.float32):
     """q: [B,Tq,Hq,D], k/v: [B,Tk,Hkv,D], kv_mask: [B,Tk] (1=valid).
 
-    When `causal`, query i attends to keys j with j <= i + q_offset, where
-    `q_offset` is the absolute position of query 0 among the keys. Defaults
-    to Tk - Tq (right-aligned, the no-cache case); pass the cache write index
-    for prefill-into-cache.
+    GQA is handled with grouped einsums — the expanded [B,Tk,Hq,D] K/V is
+    never materialized (a 100MB-per-layer copy per decode step at rollout
+    shapes). When `causal`, query i attends to keys j with
+    j <= i + q_offset, where `q_offset` is the absolute position of query 0
+    among the keys; defaults to Tk - Tq (right-aligned, the no-cache case).
     """
     b, tq, hq, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
-    k = _repeat_kv(k, hq // hkv)
-    v = _repeat_kv(v, hq // hkv)
-
+    group = hq // hkv
     scale = d ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=logits_dtype) * scale
+
+    qg = q.reshape(b, tq, hkv, group, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=logits_dtype) * scale
 
     neg = jnp.finfo(logits_dtype).min
     if kv_mask is not None:
-        logits = jnp.where(kv_mask[:, None, None, :].astype(bool), logits, neg)
+        logits = jnp.where(kv_mask[:, None, None, None, :].astype(bool), logits, neg)
     if causal:
         if q_offset is None:
             q_offset = tk - tq
         qi = jnp.arange(tq)[:, None] + q_offset
         kj = jnp.arange(tk)[None, :]
-        logits = jnp.where((kj <= qi)[None, None, :, :], logits, neg)
+        logits = jnp.where((kj <= qi)[None, None, None, :, :], logits, neg)
 
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, tq, hq, d)
 
 
 def attention(q, k, v, kv_mask=None, causal=False, q_offset=None, impl="auto"):

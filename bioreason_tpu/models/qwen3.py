@@ -61,9 +61,16 @@ def init_decoder(rng, cfg: DecoderConfig) -> Dict:
     return params
 
 
-def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Dict:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Per-layer KV cache: a LIST of {k,v} [B,S,Hkv,D] arrays.
+
+    Deliberately NOT a stacked [L,...] array: stacked caches threaded through
+    lax.scan get sliced/updated/restacked every decode step (~2.5 ms/layer of
+    pure copy traffic measured on v5e); separate per-layer buffers updated in
+    an inlined layer loop let XLA do the dynamic_update_slice in place."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.num_layers)]
 
 
 def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
@@ -87,10 +94,10 @@ def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
         k_all, v_all = ck.astype(dtype), cv.astype(dtype)
-        new_kv = (ck, cv)
+        new_kv = {"k": ck, "v": cv}
     else:
         k_all, v_all = k, v
-        new_kv = (k, v)
+        new_kv = None
 
     attn_out = attention(q, k_all, v_all, kv_mask=kv_mask, causal=causal,
                          q_offset=cache_index if cache_kv is not None else None,
@@ -144,14 +151,15 @@ def decoder_forward(
             h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal)
             return h, None
         body_fn = jax.checkpoint(body) if cfg.remat else body
-        h, new_kv = jax.lax.scan(body_fn, h, params["layers"])
+        h, new_cache_list = jax.lax.scan(body_fn, h, params["layers"])
     else:
-        def body(h, xs):
-            lp, ck, cv = xs
+        # inlined layer loop: per-layer cache buffers update in place
+        new_cache_list = []
+        for i in range(cfg.num_layers):
+            lp = jax.tree.map(lambda x: x[i], params["layers"])
             h, new_kv = _layer_forward(lp, h, cfg, positions, kv_mask, causal,
-                                       (ck, cv), cache_index)
-            return h, new_kv
-        h, new_kv = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+                                       (cache[i]["k"], cache[i]["v"]), cache_index)
+            new_cache_list.append(new_kv)
 
     h = L.rmsnorm(params["final_norm"], h, cfg.rms_norm_eps)
     if return_hidden:
@@ -163,7 +171,7 @@ def decoder_forward(
         logits = jnp.einsum("bth,vh->btv", h, params["embed"]["embedding"].astype(h.dtype),
                             preferred_element_type=jnp.float32)
 
-    new_cache = None if cache is None else {"k": new_kv[0], "v": new_kv[1]}
+    new_cache = None if cache is None else new_cache_list
     return logits, new_cache
 
 

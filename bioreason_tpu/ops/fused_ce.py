@@ -123,6 +123,67 @@ def _bwd(ignore_index, chunk, need_embedding_grad, res, g):
 fused_softmax_xent.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def chunked_token_logps(hidden, embedding, targets, chunk: int = DEFAULT_CHUNK,
+                        need_embedding_grad: bool = False):
+    """Per-token log p(target) without materializing [N,V] logits.
+
+    hidden [N,H], embedding/head [V,H], targets [N] -> logps [N].
+    The GRPO per-token-logp primitive (replaces the reference's
+    selective_log_softmax over dense logits, demo_grpo.py:477-487) at
+    151936-vocab scale.
+    """
+    logps, _ = _logps_fwd(hidden, embedding, targets, chunk, need_embedding_grad)
+    return logps
+
+
+def _logps_fwd(hidden, embedding, targets, chunk, need_embedding_grad):
+    lse, gold = _chunked_lse_and_gold(hidden, embedding, targets, chunk)
+    return gold - lse, (hidden, embedding, targets, lse)
+
+
+def _logps_bwd(chunk, need_embedding_grad, res, g):
+    hidden, embedding, targets, lse = res
+    v, hdim = embedding.shape
+    n = hidden.shape[0]
+    n_chunks = (v + chunk - 1) // chunk
+    v_pad = n_chunks * chunk
+    emb_p = jnp.pad(embedding, ((0, v_pad - v), (0, 0)))
+
+    def body(carry, ci):
+        w = jax.lax.dynamic_slice(emb_p, (ci * chunk, 0), (chunk, hdim))
+        logits = jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ci * chunk
+        probs = jnp.exp(jnp.where(col < v, logits, -jnp.inf) - lse[:, None])
+        onehot = (col == targets[:, None]).astype(jnp.float32)
+        dlogits = (onehot - probs) * g[:, None]                    # [N, chunk]
+        if need_embedding_grad:
+            dh, demb = carry
+            dw = jnp.dot(dlogits.T, hidden.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            demb = jax.lax.dynamic_update_slice(
+                demb, dw + jax.lax.dynamic_slice(demb, (ci * chunk, 0), (chunk, hdim)),
+                (ci * chunk, 0))
+            return (dh + jnp.dot(dlogits, w.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32), demb), None
+        return carry + jnp.dot(dlogits, w.astype(jnp.float32),
+                               preferred_element_type=jnp.float32), None
+
+    if need_embedding_grad:
+        (dh, demb), _ = jax.lax.scan(
+            body, (jnp.zeros((n, hdim), jnp.float32),
+                   jnp.zeros((v_pad, hdim), jnp.float32)), jnp.arange(n_chunks))
+        demb = demb[:v].astype(embedding.dtype)
+    else:
+        dh, _ = jax.lax.scan(body, jnp.zeros((n, hdim), jnp.float32),
+                             jnp.arange(n_chunks))
+        demb = jnp.zeros_like(embedding)
+    return dh.astype(hidden.dtype), demb, None
+
+
+chunked_token_logps.defvjp(_logps_fwd, _logps_bwd)
+
+
 def decoder_lm_loss(hidden, embedding, labels, ignore_index=-100,
                     chunk: int = DEFAULT_CHUNK, need_embedding_grad: bool = False):
     """Shifted causal LM loss on final-norm hidden states [B,T,H] with a tied

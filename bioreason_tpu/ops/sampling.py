@@ -14,8 +14,14 @@ import jax.numpy as jnp
 
 
 def sample_logits(rng: jax.Array, logits: jnp.ndarray, temperature: float = 1.0,
-                  top_k: int = 0, top_p: float = 1.0, greedy: bool = False) -> jnp.ndarray:
-    """logits [B, V] -> sampled token ids [B]."""
+                  top_k: int = 0, top_p: float = 1.0, greedy: bool = False,
+                  approx: bool = True) -> jnp.ndarray:
+    """logits [B, V] -> sampled token ids [B].
+
+    `approx=True` uses `jax.lax.approx_max_k` (TPU-optimized partial
+    reduction, ~3x faster than exact top_k over a 151936-wide vocab; recall
+    0.99 — negligible for temperature sampling) then sorts the k survivors.
+    """
     if greedy or temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -24,7 +30,13 @@ def sample_logits(rng: jax.Array, logits: jnp.ndarray, temperature: float = 1.0,
     k = top_k if (top_k and top_k > 0) else v
     k = min(k, v)
 
-    vals, idx = jax.lax.top_k(logits, k)           # sorted desc: [B, k]
+    if approx and k < v:
+        vals, idx = jax.lax.approx_max_k(logits, k, recall_target=0.99)
+        order = jnp.argsort(-vals, axis=-1)        # ensure descending for top-p
+        vals = jnp.take_along_axis(vals, order, axis=-1)
+        idx = jnp.take_along_axis(idx, order, axis=-1)
+    else:
+        vals, idx = jax.lax.top_k(logits, k)       # sorted desc: [B, k]
     if top_p < 1.0:
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)

@@ -46,3 +46,26 @@ def test_all_ignored_is_zero_loss():
     emb = jnp.ones((10, 8))
     labels = jnp.full((1, 4), -100)
     assert float(decoder_lm_loss(hidden, emb, labels, chunk=4)) == 0.0
+
+
+def test_chunked_token_logps_matches_dense():
+    from bioreason_tpu.ops.fused_ce import chunked_token_logps
+    rng = np.random.default_rng(2)
+    N, H, V = 12, 16, 41
+    h = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    t = jnp.asarray(rng.integers(0, V, N).astype(np.int32))
+
+    def dense(h, emb):
+        logits = (h @ emb.T).astype(jnp.float32)
+        return jnp.take_along_axis(jax.nn.log_softmax(logits, -1), t[:, None], 1)[:, 0]
+
+    lp_c = chunked_token_logps(h, emb, t, 16)
+    lp_d = dense(h, emb)
+    np.testing.assert_allclose(np.asarray(lp_c), np.asarray(lp_d), rtol=1e-5, atol=1e-6)
+
+    # gradients (weighted sum to exercise per-token cotangents)
+    w = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    gc = jax.grad(lambda h: (chunked_token_logps(h, emb, t, 8) * w).sum())(h)
+    gd = jax.grad(lambda h: (dense(h, emb) * w).sum())(h)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-5, rtol=1e-4)
