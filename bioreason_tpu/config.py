@@ -173,6 +173,9 @@ class OptimConfig:
     eps: float = 1e-8
     grad_clip: float = 1.0
     total_steps: int = 1000
+    # skip steps whose grads contain non-finite values (bad-batch guard;
+    # gives up after this many consecutive bad steps). 0 disables.
+    skip_nonfinite_after: int = 100
 
 
 @dataclass(frozen=True)

@@ -32,4 +32,8 @@ def make_optimizer(cfg: OptimConfig):
         optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
                     weight_decay=cfg.weight_decay),
     )
+    if cfg.skip_nonfinite_after:
+        # bad-batch guard: drop updates containing NaN/Inf instead of
+        # poisoning the parameters (failure-detection story, SURVEY §5)
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite_after)
     return tx, schedule

@@ -24,6 +24,9 @@ def force_cpu_devices(n: int = 8) -> None:
     from jax._src import xla_bridge as _xb
 
     if _xb.backends_are_initialized():
+        # XLA_FLAGS was already parsed by the first backend init, so the
+        # device-count flag above is a no-op now; the config knob still works.
         from jax.extend.backend import clear_backends
         clear_backends()
+    jax.config.update("jax_num_cpu_devices", n)
     jax.config.update("jax_platforms", "cpu")
