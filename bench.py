@@ -33,7 +33,7 @@ def main():
     import optax
 
     from bioreason_tpu.config import (DecoderConfig, EncoderConfig, FusionConfig,
-                                      LoRAConfig, OptimConfig, SFTConfig)
+                                      LoRAConfig, OptimConfig)
     from bioreason_tpu.models import init_fusion, fusion_forward
     from bioreason_tpu.train import trainable as T
     from bioreason_tpu.train.lora import attach_lora
@@ -73,7 +73,9 @@ def main():
         dna_input_ids=dna_ids, dna_attention_mask=dna_mask,
         labels=labels).items()}
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def step(train_leaves, frozen_leaves, opt_state, batch):
         def loss_fn(train):
             p = T.combine(partition, train, frozen_leaves)

@@ -7,9 +7,7 @@ DeepSpeed JSON — SURVEY §5) with argparse over the dataclass config tree.
 from __future__ import annotations
 
 import argparse
-import functools
-import os
-from typing import Any, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 from bioreason_tpu.config import DecoderConfig, EncoderConfig, FusionConfig, HyenaConfig
 from bioreason_tpu.data.kegg import (KEGGDataset, synthetic_kegg_items,

@@ -118,13 +118,45 @@ class BioProcessor:
             padding_side=padding_side, pad_to=pad_text_to,
         )
 
+        dna_ids = dna_mask = None
+        if dna_toks is not None:
+            dna_ids = np.asarray(dna_toks["input_ids"], dtype=np.int32)
+            dna_mask = np.asarray(dna_toks["attention_mask"], dtype=np.int32)
+            dna_ids, dna_mask, batch_idx_map = self._uniformize(
+                dna_ids, dna_mask, batch_idx_map, len(text))
+
         return ProcessorOutput(
             input_ids=np.asarray(text_out["input_ids"], dtype=np.int32),
             attention_mask=np.asarray(text_out["attention_mask"], dtype=np.int32),
-            dna_input_ids=None if dna_toks is None else np.asarray(dna_toks["input_ids"], dtype=np.int32),
-            dna_attention_mask=None if dna_toks is None else np.asarray(dna_toks["attention_mask"], dtype=np.int32),
+            dna_input_ids=dna_ids,
+            dna_attention_mask=dna_mask,
             batch_idx_map=batch_idx_map,
         )
+
+    def _uniformize(self, dna_ids, dna_mask, batch_idx_map, batch_size):
+        """Pad every item to the same number of DNA sequences with all-pad
+        dummy rows (zero valid tokens — they consume no placeholders). A
+        uniform [B*k, L] layout keeps the on-device splice row-local and
+        fully data-parallel under a sharded batch (models/fusion.py
+        splice_embeddings_per_item)."""
+        counts = np.bincount(np.asarray(batch_idx_map, np.int64), minlength=batch_size)
+        k = int(counts.max()) if len(batch_idx_map) else 0
+        if k == 0:
+            return dna_ids, dna_mask, batch_idx_map
+        if (counts == k).all():
+            return dna_ids, dna_mask, batch_idx_map    # already uniform
+        width = dna_ids.shape[1]
+        pad_id = self.dna_tokenizer.pad_id
+        new_ids = np.full((batch_size * k, width), pad_id, np.int32)
+        new_mask = np.zeros((batch_size * k, width), np.int32)
+        slot = {b: 0 for b in range(batch_size)}
+        for row, b in enumerate(batch_idx_map):
+            r = b * k + slot[b]
+            new_ids[r] = dna_ids[row]
+            new_mask[r] = dna_mask[row]
+            slot[b] += 1
+        new_map = [b for b in range(batch_size) for _ in range(k)]
+        return new_ids, new_mask, new_map
 
     def batch_decode(self, *a, **kw):
         return self.text_tokenizer.batch_decode(*a, **kw)

@@ -18,8 +18,7 @@ max_new_tokens) bucket; sampling params are static, the PRNG key is an arg.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

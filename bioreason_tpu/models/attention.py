@@ -9,9 +9,6 @@ decode steps with q_len==1 where a fused kernel buys nothing).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -21,13 +18,6 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
-
-
-def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
-    if n_rep == 1:
-        return x
-    b, t, h, d = x.shape
-    return jnp.broadcast_to(x[:, :, :, None, :], (b, t, h, n_rep, d)).reshape(b, t, h * n_rep, d)
 
 
 def xla_attention(q, k, v, kv_mask=None, causal=False, q_offset=None,

@@ -33,7 +33,7 @@ import numpy as np
 from bioreason_tpu.config import FusionConfig
 from bioreason_tpu.models import layers as L
 from bioreason_tpu.models.nt_encoder import init_encoder, encoder_forward
-from bioreason_tpu.models.qwen3 import init_decoder, decoder_forward, cross_entropy_loss
+from bioreason_tpu.models.qwen3 import init_decoder, decoder_forward
 
 
 def init_fusion(rng, cfg: FusionConfig) -> Dict:
@@ -99,6 +99,36 @@ def splice_embeddings(text_embeds: jnp.ndarray, input_ids: jnp.ndarray,
     return jnp.where(text_mask.reshape(b, t, 1), replacement, text_embeds)
 
 
+def splice_embeddings_per_item(text_embeds: jnp.ndarray, input_ids: jnp.ndarray,
+                               dna_embeds: jnp.ndarray, dna_mask: jnp.ndarray,
+                               dna_pad_token_id: int, per_item: int) -> jnp.ndarray:
+    """Shard-friendly splice for the common case of a FIXED number of DNA
+    sequences per batch item (2 for KEGG/VEP). The cumsum/scatter/gather all
+    stay row-local, so under a ('data','fsdp')-sharded batch GSPMD keeps the
+    whole splice data-parallel (the batch-global variant needs an all-gather
+    and triggers involuntary rematerialization in the partitioner).
+
+    dna_embeds [B*per_item, Ld, H] (batch-major, like the processor emits).
+    """
+    b, t, h = text_embeds.shape
+    ld = dna_embeds.shape[1]
+    total = per_item * ld
+    dna_b = dna_embeds.reshape(b, total, h)
+    mask_b = dna_mask.reshape(b, total).astype(jnp.int32)
+
+    order = jnp.cumsum(mask_b, axis=1) - 1                        # [B, total]
+    scatter_idx = jnp.where(mask_b > 0, order, total)             # OOB -> dropped
+    flat = jnp.zeros((b, total, h), dna_b.dtype)
+    flat = jax.vmap(lambda f, i, d: f.at[i].set(d, mode="drop"))(flat, scatter_idx, dna_b)
+
+    text_mask = input_ids == dna_pad_token_id                     # [B, T]
+    gather_idx = jnp.clip(jnp.cumsum(text_mask.astype(jnp.int32), axis=1) - 1,
+                          0, total - 1)
+    replacement = jnp.take_along_axis(flat, gather_idx[..., None], axis=1)
+    return jnp.where(text_mask[..., None], replacement.astype(text_embeds.dtype),
+                     text_embeds)
+
+
 def validate_splice(input_ids: np.ndarray, dna_input_ids: Optional[np.ndarray],
                     dna_pad_token_id: int, dna_tokenizer_pad_id: int = 1) -> None:
     """Host-side strict count check (reference dna_llm.py:222-225)."""
@@ -153,11 +183,21 @@ def fused_input_embeddings(params: Dict, cfg: FusionConfig, input_ids,
                            dna_input_ids=None, dna_attention_mask=None,
                            train_encoder: bool = False) -> jnp.ndarray:
     """Text embedding lookup + DNA splice (shared by forward and generate,
-    reference dna_llm.py:211-229 / :277-295)."""
+    reference dna_llm.py:211-229 / :277-295). Uses the row-local splice when
+    the DNA batch is an exact multiple of the text batch (fixed
+    sequences-per-item — true for all KEGG/VEP pipelines), falling back to
+    the batch-global splice for ragged layouts."""
     dtype = jnp.dtype(cfg.decoder.dtype)
     embeds = L.embed(params["decoder"]["embed"], input_ids, dtype)
     if dna_input_ids is not None:
         dna = encode_dna(params, cfg, dna_input_ids, dna_attention_mask, train_encoder)
-        embeds = splice_embeddings(embeds, input_ids, dna,
-                                   dna_attention_mask, cfg.dna_pad_token_id)
+        b = input_ids.shape[0]
+        s = dna_input_ids.shape[0]
+        if s % b == 0 and s >= b:
+            embeds = splice_embeddings_per_item(embeds, input_ids, dna,
+                                                dna_attention_mask,
+                                                cfg.dna_pad_token_id, s // b)
+        else:
+            embeds = splice_embeddings(embeds, input_ids, dna,
+                                       dna_attention_mask, cfg.dna_pad_token_id)
     return embeds

@@ -11,15 +11,15 @@ TPU-first design:
     `jax.checkpoint` when cfg.remat);
   * accepts `inputs_embeds` so the DNA splice can inject embeddings
     (reference forward path dna_llm.py:237-242);
-  * explicit KV cache (dict of [L,B,S,Hkv,D] arrays) written with
-    `dynamic_update_slice` for the jitted prefill+decode generation engine —
-    the replacement for the reference's HF-generate/vLLM rollout path;
+  * explicit KV cache (per-layer {k,v} [B,S,Hkv,D] buffers; see init_cache
+    for why they are not stacked) written with `dynamic_update_slice` for the
+    jitted prefill+decode generation engine — the replacement for the
+    reference's HF-generate/vLLM rollout path;
   * positions derived from the attention mask (left-padding robust).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -16,8 +16,6 @@ head is bandwidth-bound (it is, at bf16 on v5e).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

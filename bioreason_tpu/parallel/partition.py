@@ -17,7 +17,7 @@ so specs carry a leading None for the layer axis.
 from __future__ import annotations
 
 import re
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from bioreason_tpu.config import EncoderConfig, MeshConfig, OptimConfig
 from bioreason_tpu.models.classifier import init_classifier, classifier_forward

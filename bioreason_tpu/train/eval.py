@@ -32,7 +32,6 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
-import numpy as np
 
 from bioreason_tpu.config import SamplingConfig
 from bioreason_tpu.data.chat_template import render_chat

@@ -22,8 +22,7 @@ Stacked decoder kernels [L, in, out] get stacked adapters
 
 from __future__ import annotations
 
-import re
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

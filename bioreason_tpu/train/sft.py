@@ -15,7 +15,6 @@ Rebuilds the reference `DNALLMFineTuner` Lightning module
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

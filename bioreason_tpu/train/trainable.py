@@ -10,7 +10,7 @@ computed for it) and `combine` reassembles the full tree for the model apply.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, List, NamedTuple, Tuple
 
 import jax
 

@@ -17,11 +17,11 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
-from bioreason_tpu.config import DecoderConfig, EncoderConfig
+from bioreason_tpu.config import DecoderConfig
 
 
 def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -144,3 +144,20 @@ class TestGroupedGeneration:
                                   rng=jax.random.PRNGKey(5))
         rows = {tuple(r) for r in toks.tolist()}
         assert len(rows) > 1, "all group samples identical"
+
+
+class TestShardedGeneration:
+    def test_generate_under_tp_mesh(self):
+        from bioreason_tpu.config import MeshConfig
+        from bioreason_tpu.parallel import make_mesh
+        from bioreason_tpu.parallel.partition import partition_rules_fusion, shardings_for_params
+        import jax as _jax
+
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2))
+        sharded = _jax.device_put(
+            PARAMS, shardings_for_params(PARAMS, partition_rules_fusion(), mesh))
+        ids = np.array([[3, 5, 9, 11], [1, 2, 3, 4]], np.int32)
+        mask = np.ones_like(ids)
+        toks, _ = ENGINE.generate(sharded, ids, mask, greedy=True, max_new_tokens=4)
+        ref, _ = ENGINE.generate(PARAMS, ids, mask, greedy=True, max_new_tokens=4)
+        np.testing.assert_array_equal(toks, ref)

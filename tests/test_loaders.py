@@ -36,3 +36,31 @@ def test_kegg_style_dir(tmp_path):
     assert out[0]["answer"] == "p53 pathway"      # lower+strip (kegg normalize)
     assert out[0]["reasoning"] == "a\nb"
     assert out[0]["reference_sequence"] == "ACGT"
+
+
+class TestCuration:
+    def test_window_and_snv(self):
+        from bioreason_tpu.data.curation import Variant, extract_window, apply_variant
+        seq = "A" * 50 + "C" + "G" * 50
+        win, off = extract_window(seq, 50, flank=10)
+        assert len(win) == 20 and win[off] == "C"
+        alt = apply_variant(win, off, Variant(50, "C", "T"))
+        assert alt[off] == "T" and len(alt) == len(win)
+
+    def test_indels_and_validation(self):
+        import pytest
+        from bioreason_tpu.data.curation import Variant, apply_variant
+        win = "ACGTACGT"
+        assert apply_variant(win, 2, Variant(0, "GT", "")) == "ACACGT"      # deletion
+        assert apply_variant(win, 2, Variant(0, "", "TTT")) == "ACTTTGTACGT"  # insertion
+        with pytest.raises(ValueError, match="mismatch"):
+            apply_variant(win, 2, Variant(0, "AA", "T"))
+
+    def test_build_item(self):
+        from bioreason_tpu.data.curation import Variant, build_variant_item
+        seq = "ACGT" * 100
+        item = build_variant_item(seq, Variant(200, "A", "G"), "what effect?",
+                                  "Pathogenic", flank=16)
+        assert item["answer"] == "pathogenic"
+        assert len(item["reference_sequence"]) == 32
+        assert item["reference_sequence"] != item["variant_sequence"]

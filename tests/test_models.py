@@ -156,6 +156,26 @@ class TestSplice:
         expected = self._reference_splice(text, ids, dna, dna_mask, pad_tok)
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
 
+    def test_per_item_splice_matches_global(self):
+        from bioreason_tpu.models.fusion import splice_embeddings_per_item
+        rng = np.random.default_rng(3)
+        B, T, H, k, Ld = 2, 10, 6, 2, 4
+        pad_tok = 77
+        text = rng.normal(size=(B, T, H)).astype(np.float32)
+        dna = rng.normal(size=(B * k, Ld, H)).astype(np.float32)
+        dna_mask = np.zeros((B * k, Ld), np.int32)
+        for s_, n in enumerate([3, 2, 4, 1]):
+            dna_mask[s_, :n] = 1
+        ids = np.full((B, T), 5, np.int32)
+        ids[0, 1:6] = pad_tok     # 3+2 tokens for item 0
+        ids[1, 2:7] = pad_tok     # 4+1 tokens for item 1
+        a = splice_embeddings(jnp.asarray(text), jnp.asarray(ids), jnp.asarray(dna),
+                              jnp.asarray(dna_mask), pad_tok)
+        b = splice_embeddings_per_item(jnp.asarray(text), jnp.asarray(ids),
+                                       jnp.asarray(dna), jnp.asarray(dna_mask),
+                                       pad_tok, per_item=k)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
     def test_validate_splice_raises_on_mismatch(self):
         ids = np.array([[260, 260, 1]])
         dna_ids = np.array([[3, 6, 1]])  # 2 non-pad

@@ -28,8 +28,14 @@ class TestProcessor:
         text = ["<|dna_pad|>a", "<|dna_pad|><|dna_pad|>b"]
         dna = [["ACGTAC"], ["ACGTAC", "ACGTACGTACGT"]]
         out = p(text=text, batch_dna_sequences=dna, max_length_text=64, max_length_dna=32)
-        assert out.batch_idx_map == [0, 1, 1]
-        assert out.dna_input_ids.shape[0] == 3
+        # ragged counts are uniformized with all-pad dummy rows (batch-major)
+        assert out.batch_idx_map == [0, 0, 1, 1]
+        assert out.dna_input_ids.shape[0] == 4
+        # the dummy row contributes zero valid tokens
+        assert out.dna_attention_mask[1].sum() == 0
+        # splice invariant still holds
+        n_pads = int((out.input_ids == p.text_tokenizer.dna_pad_id).sum())
+        assert n_pads == int((out.dna_input_ids != p.dna_tokenizer.pad_id).sum())
 
     def test_left_padding_text(self):
         p = make_processor()
@@ -109,3 +115,27 @@ class TestDatasetUtils:
         tr2, _, _ = split_dataset(items, seed=42)
         assert tr == tr2
         assert sorted(tr + va + te) == items
+
+
+class TestRaggedFusion:
+    def test_uniformized_ragged_batch_runs_fusion(self):
+        import jax.numpy as jnp
+        from bioreason_tpu.config import FusionConfig
+        from bioreason_tpu.models import init_fusion, fusion_forward, validate_splice
+        import jax as _jax
+
+        p = make_processor()
+        tok = p.text_tokenizer
+        text = ["<|dna_pad|>question one", "<|dna_pad|><|dna_pad|>question two"]
+        dna = [["ACGTACGTACGT"], ["ACGTAC", "ACGTACGTACGTACGTAC"]]
+        out = p(text=text, batch_dna_sequences=dna, max_length_text=64, max_length_dna=32)
+        validate_splice(out.input_ids, out.dna_input_ids, tok.dna_pad_id)
+        assert out.dna_input_ids.shape[0] == 4  # uniformized to 2/item
+
+        cfg = FusionConfig.tiny(text_vocab=tok.vocab_size, dna_pad_token_id=tok.dna_pad_id)
+        params = init_fusion(_jax.random.PRNGKey(0), cfg)
+        logits, _ = fusion_forward(params, cfg, jnp.asarray(out.input_ids),
+                                   jnp.asarray(out.attention_mask),
+                                   jnp.asarray(out.dna_input_ids),
+                                   jnp.asarray(out.dna_attention_mask))
+        assert np.isfinite(np.asarray(logits)).all()

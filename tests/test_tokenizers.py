@@ -20,7 +20,6 @@ class TestKmerTokenizer:
         # 7 chars: one 6-mer + one single char
         assert tok.tokenize("ACGTACG") == ["ACGTAC", "G"]
         # N breaks the 6-mer frame; greedy restarts right after it
-        assert tok.tokenize("ACNACGTAC") == ["A", "C", "N", "ACGTAC"][:4] or True
         toks = tok.tokenize("ACNACGTACG")
         assert toks[0:3] == ["A", "C", "N"]
         assert toks[3] == "ACGTAC"
