@@ -152,6 +152,8 @@ def fusion_forward(
     labels: Optional[jnp.ndarray] = None,
     train_encoder: bool = False,
     train_embeddings: bool = False,
+    lora_dropout_rng: Optional[jnp.ndarray] = None,
+    lora_dropout_rate: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused forward. Returns (logits, loss or None).
 
@@ -169,7 +171,9 @@ def fusion_forward(
     from bioreason_tpu.ops.fused_ce import decoder_lm_loss
     hidden, _ = decoder_forward(params["decoder"], cfg.decoder,
                                 inputs_embeds=embeds, attention_mask=attention_mask,
-                                return_hidden=True)
+                                return_hidden=True,
+                                lora_dropout_rng=lora_dropout_rng,
+                                lora_dropout_rate=lora_dropout_rate)
     dec = params["decoder"]
     head = (dec["lm_head"]["kernel"].T if "lm_head" in dec
             else dec["embed"]["embedding"])

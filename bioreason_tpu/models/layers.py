@@ -19,16 +19,25 @@ def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None):
     return {"kernel": jax.random.normal(rng, (in_dim, out_dim), jnp.float32) * std}
 
 
-def dense(params, x, dtype=jnp.bfloat16):
+def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None):
     """Linear layer; transparently applies a LoRA adapter when the param dict
     carries `lora_a`/`lora_b` leaves (see train/lora.py):
-    y = x@W + (x@A)@B * scale."""
+    y = x@W + (x@A)@B * scale.
+
+    `lora_dropout`: optional (rng_key, rate) applying inverted dropout to the
+    ADAPTER input only (PEFT lora_dropout semantics; reference uses 0.05,
+    train_dna_qwen.py LoraConfig)."""
     x = x.astype(dtype)
     y = x @ params["kernel"].astype(dtype)
     if "lora_a" in params:
         a = params["lora_a"].astype(dtype)
         b = params["lora_b"].astype(dtype)
-        y = y + ((x @ a) @ b) * params["lora_scale"].astype(dtype)
+        xl = x
+        if lora_dropout is not None:
+            key, rate = lora_dropout
+            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+            xl = jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+        y = y + ((xl @ a) @ b) * params["lora_scale"].astype(dtype)
     return y
 
 
@@ -73,10 +82,15 @@ def swiglu_init(rng, dim: int, hidden: int):
             "down": dense_init(k3, hidden, dim)}
 
 
-def swiglu(params, x, dtype=jnp.bfloat16):
-    g = dense(params["gate"], x, dtype)
-    u = dense(params["up"], x, dtype)
-    return dense(params["down"], jax.nn.silu(g) * u, dtype)
+def swiglu(params, x, dtype=jnp.bfloat16, lora_dropout=None):
+    def drop(i):
+        if lora_dropout is None:
+            return None
+        key, rate = lora_dropout
+        return (jax.random.fold_in(key, i), rate)
+    g = dense(params["gate"], x, dtype, drop(0))
+    u = dense(params["up"], x, dtype, drop(1))
+    return dense(params["down"], jax.nn.silu(g) * u, dtype, drop(2))
 
 
 def gelu_mlp_init(rng, dim: int, hidden: int):

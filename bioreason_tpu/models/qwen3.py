@@ -74,15 +74,21 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
 
 
 def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
-                   cache_kv=None, cache_index=None):
+                   cache_kv=None, cache_index=None, lora_dropout=None):
     """One decoder block. h: [B,T,H]. Returns (h, (new_k, new_v))."""
     dtype = h.dtype
     b, t, _ = h.shape
 
+    def drop(i):
+        if lora_dropout is None:
+            return None
+        key, rate = lora_dropout
+        return (jax.random.fold_in(key, i), rate)
+
     x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
-    q = L.dense(lp["attn"]["q"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = L.dense(lp["attn"]["k"], x, dtype).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = L.dense(lp["attn"]["v"], x, dtype).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = L.dense(lp["attn"]["q"], x, dtype, drop(0)).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = L.dense(lp["attn"]["k"], x, dtype, drop(1)).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = L.dense(lp["attn"]["v"], x, dtype, drop(2)).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
 
     q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
     k = L.rmsnorm(lp["attn"]["k_norm"], k, cfg.rms_norm_eps)
@@ -102,10 +108,12 @@ def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
     attn_out = attention(q, k_all, v_all, kv_mask=kv_mask, causal=causal,
                          q_offset=cache_index if cache_kv is not None else None,
                          impl=cfg.attention_impl)
-    h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype)
+    h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype, drop(3))
 
     x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
-    h = h + L.swiglu(lp["mlp"], x, dtype)
+    h = h + L.swiglu(lp["mlp"], x, dtype,
+                     None if lora_dropout is None
+                     else (jax.random.fold_in(lora_dropout[0], 4), lora_dropout[1]))
     return h, new_kv
 
 
@@ -120,6 +128,8 @@ def decoder_forward(
     cache_index: int = 0,
     cache_mask: Optional[jnp.ndarray] = None,
     return_hidden: bool = False,
+    lora_dropout_rng: Optional[jnp.ndarray] = None,
+    lora_dropout_rate: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder.
 
@@ -146,12 +156,24 @@ def decoder_forward(
     else:
         kv_mask, causal = attention_mask, True
 
+    use_dropout = lora_dropout_rng is not None and lora_dropout_rate > 0.0
     if cache is None:
-        def body(h, lp):
-            h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal)
-            return h, None
-        body_fn = jax.checkpoint(body) if cfg.remat else body
-        h, new_cache_list = jax.lax.scan(body_fn, h, params["layers"])
+        if use_dropout:
+            layer_keys = jax.random.split(lora_dropout_rng, cfg.num_layers)
+
+            def body(h, xs):
+                lp, key = xs
+                h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal,
+                                      lora_dropout=(key, lora_dropout_rate))
+                return h, None
+            body_fn = jax.checkpoint(body) if cfg.remat else body
+            h, new_cache_list = jax.lax.scan(body_fn, h, (params["layers"], layer_keys))
+        else:
+            def body(h, lp):
+                h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal)
+                return h, None
+            body_fn = jax.checkpoint(body) if cfg.remat else body
+            h, new_cache_list = jax.lax.scan(body_fn, h, params["layers"])
     else:
         # inlined layer loop: per-layer cache buffers update in place
         new_cache_list = []

@@ -91,13 +91,15 @@ class SFTTrainer:
         self.opt_state = jax.jit(self.tx.init, out_shardings=opt_shardings)(self.train_leaves)
 
         self.step = 0
-        self._batch_sharding_cache = {}
+        self._rng = jax.random.fold_in(rng, 2)     # per-step lora-dropout keys
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 2))
         self._jit_eval = jax.jit(self._eval_step)
 
     # ------------------------------------------------------------------
 
-    def _train_step(self, train_leaves, frozen_leaves, opt_state, batch):
+    def _train_step(self, train_leaves, frozen_leaves, opt_state, batch, rng):
+        lora_rate = self.cfg.lora.dropout if self.cfg.lora is not None else 0.0
+
         def loss_fn(train):
             params = T.combine(self.partition, train, frozen_leaves)
             _, loss = fusion_forward(
@@ -106,7 +108,9 @@ class SFTTrainer:
                 batch.get("dna_input_ids"), batch.get("dna_attention_mask"),
                 labels=batch["labels"],
                 train_encoder=not self.cfg.freeze_encoder,
-                train_embeddings=self.cfg.lora is None)
+                train_embeddings=self.cfg.lora is None,
+                lora_dropout_rng=rng if lora_rate > 0.0 else None,
+                lora_dropout_rate=lora_rate)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(train_leaves)
@@ -142,8 +146,9 @@ class SFTTrainer:
 
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
         db = self._device_batch(batch)
+        self._rng, step_rng = jax.random.split(self._rng)
         self.train_leaves, self.opt_state, metrics = self._jit_step(
-            self.train_leaves, self.frozen_leaves, self.opt_state, db)
+            self.train_leaves, self.frozen_leaves, self.opt_state, db, step_rng)
         self.step += 1
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["lr"] = float(self.schedule(self.step))

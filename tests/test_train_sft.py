@@ -111,3 +111,39 @@ class TestSFTTrainer:
         trainer = SFTTrainer(fusion, sft, mesh=make_mesh(MeshConfig(data=8)))
         loss = trainer.eval_step(make_batch(n=4, seed=4))
         assert np.isfinite(loss)
+
+
+class TestLoRADropout:
+    def test_dropout_changes_loss_stochastically(self):
+        import jax
+        import jax.numpy as jnp
+        from bioreason_tpu.models.fusion import fusion_forward
+        fusion, _ = tiny_cfgs()
+        params = init_fusion(jax.random.PRNGKey(0), fusion)
+        lparams = attach_lora(jax.random.PRNGKey(1), params, LoRAConfig(r=4, alpha=8))
+        # nonzero lora_b so the adapter branch actually contributes
+        lparams = jax.tree_util.tree_map_with_path(
+            lambda p, x: x + 0.05 if "lora_b" in "/".join(
+                str(getattr(k, "key", k)) for k in p) else x, lparams)
+        batch = make_batch(seed=7)
+        args = (jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["dna_input_ids"]), jnp.asarray(batch["dna_attention_mask"]))
+        kw = dict(labels=jnp.asarray(batch["labels"]))
+        _, l_plain = fusion_forward(lparams, fusion, *args, **kw)
+        _, l_d1 = fusion_forward(lparams, fusion, *args, **kw,
+                                 lora_dropout_rng=jax.random.PRNGKey(3),
+                                 lora_dropout_rate=0.5)
+        _, l_d1b = fusion_forward(lparams, fusion, *args, **kw,
+                                  lora_dropout_rng=jax.random.PRNGKey(3),
+                                  lora_dropout_rate=0.5)
+        _, l_d2 = fusion_forward(lparams, fusion, *args, **kw,
+                                 lora_dropout_rng=jax.random.PRNGKey(4),
+                                 lora_dropout_rate=0.5)
+        assert float(l_d1) == float(l_d1b)            # deterministic per key
+        assert float(l_d1) != float(l_d2)             # stochastic across keys
+        assert float(l_d1) != float(l_plain)          # dropout has an effect
+        # rate 0 == no dropout
+        _, l_zero = fusion_forward(lparams, fusion, *args, **kw,
+                                   lora_dropout_rng=jax.random.PRNGKey(5),
+                                   lora_dropout_rate=0.0)
+        np.testing.assert_allclose(float(l_zero), float(l_plain), rtol=1e-6)
