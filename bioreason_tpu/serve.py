@@ -1,0 +1,232 @@
+"""Inference serving: HTTP server over the jitted generation engine.
+
+The reference's serving story is vLLM on a dedicated GPU
+(grpo_config.py:230-281, demo_grpo.py:366-425). Here serving is the same
+KV-cached engine used for training rollouts, wrapped in a stdlib HTTP server
+with request micro-batching: concurrent requests arriving within
+`batch_window_ms` are padded into one batch and generated in a single device
+call (shape-bucketed so repeated jits stay cached).
+
+Endpoints:
+  POST /generate  {"question": str, "reference_sequence": str,
+                   "variant_sequence": str, "max_new_tokens"?: int,
+                   "greedy"?: bool}
+              ->  {"completion": str, "answer": str}
+  GET  /healthz ->  {"status": "ok"}
+
+Run: python -m bioreason_tpu.serve --decoder tiny --encoder tiny --port 8787
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from bioreason_tpu.config import FusionConfig, SamplingConfig
+from bioreason_tpu.data.chat_template import render_chat
+from bioreason_tpu.data.kegg import format_kegg_prompt_only
+from bioreason_tpu.data.processor import BioProcessor
+from bioreason_tpu.generate.engine import GenerationEngine
+from bioreason_tpu.train.rewards import extract_answer
+
+
+def _bucket(n: int, multiple: int = 128) -> int:
+    return ((max(n, 1) + multiple - 1) // multiple) * multiple
+
+
+class InferenceServer:
+    def __init__(self, params: Dict, fusion_cfg: FusionConfig,
+                 processor: BioProcessor,
+                 sampling: SamplingConfig = SamplingConfig(),
+                 max_batch: int = 8, batch_window_ms: float = 20.0,
+                 max_new_tokens: int = 256, greedy_default: bool = False):
+        self.params = params
+        self.cfg = fusion_cfg
+        self.processor = processor
+        self.sampling = sampling
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.max_new_tokens = max_new_tokens
+        self.greedy_default = greedy_default
+        self.engine = GenerationEngine(
+            fusion_cfg, eos_token_id=processor.text_tokenizer.eos_token_id)
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        self._rng_counter = 0
+
+    # -- batching worker ------------------------------------------------
+
+    def start(self):
+        self._worker.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except Exception as e:                      # pragma: no cover
+                for req in batch:
+                    req["error"] = str(e)
+                    req["event"].set()
+
+    def _run_batch(self, reqs: List[Dict[str, Any]]):
+        import jax
+
+        examples = [format_kegg_prompt_only(r["item"]) for r in reqs]
+        rendered = [render_chat(ex["prompt"], add_generation_prompt=True)
+                    for ex in examples]
+        out = self.processor(
+            text=rendered,
+            batch_dna_sequences=[ex["dna_sequences"] for ex in examples],
+            max_length_text=self.cfg.max_length_text,
+            max_length_dna=self.cfg.max_length_dna,
+            padding_side="left")
+        # bucket the padded width so repeated jits stay cached across batches
+        width = _bucket(out.input_ids.shape[1])
+        if width != out.input_ids.shape[1]:
+            pad = width - out.input_ids.shape[1]
+            out.input_ids = np.pad(out.input_ids, ((0, 0), (pad, 0)),
+                                   constant_values=self.processor.text_tokenizer.pad_token_id)
+            out.attention_mask = np.pad(out.attention_mask, ((0, 0), (pad, 0)))
+        mnt = max(r.get("max_new_tokens") or self.max_new_tokens for r in reqs)
+        greedy = all(r.get("greedy", self.greedy_default) for r in reqs)
+        self._rng_counter += 1
+        ids, mask = self.engine.generate(
+            self.params, out.input_ids, out.attention_mask,
+            out.dna_input_ids, out.dna_attention_mask,
+            sampling=self.sampling, max_new_tokens=mnt, greedy=greedy,
+            rng=jax.random.PRNGKey(self._rng_counter))
+        tok = self.processor.text_tokenizer
+        for i, req in enumerate(reqs):
+            text = tok.decode(ids[i][mask[i].astype(bool)], skip_special_tokens=True)
+            req["result"] = {"completion": text, "answer": extract_answer(text)}
+            req["event"].set()
+
+    # -- public sync API (used by the HTTP handler and tests) ------------
+
+    def generate(self, item: Dict[str, Any], max_new_tokens: Optional[int] = None,
+                 greedy: Optional[bool] = None, timeout: float = 600.0) -> Dict[str, str]:
+        req = {"item": item, "max_new_tokens": max_new_tokens,
+               "greedy": self.greedy_default if greedy is None else greedy,
+               "event": threading.Event()}
+        self._queue.put(req)
+        if not req["event"].wait(timeout):
+            raise TimeoutError("generation timed out")
+        if "error" in req:
+            raise RuntimeError(req["error"])
+        return req["result"]
+
+
+def make_http_server(server: InferenceServer, port: int = 8787) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):                       # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length))
+                item = {
+                    "question": payload["question"],
+                    "reference_sequence": payload.get("reference_sequence", ""),
+                    "variant_sequence": payload.get("variant_sequence", ""),
+                    "answer": "",
+                }
+                result = server.generate(item,
+                                         max_new_tokens=payload.get("max_new_tokens"),
+                                         greedy=payload.get("greedy"))
+                self._send(200, result)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    from bioreason_tpu.cli.common import (DECODER_PRESETS, build_encoder_config,
+                                          HYENA_PRESETS, ENCODER_PRESETS)
+    p.add_argument("--decoder", default="qwen3-0.6b", choices=sorted(DECODER_PRESETS))
+    p.add_argument("--encoder", default="nt-500m",
+                   choices=sorted(ENCODER_PRESETS) + sorted(HYENA_PRESETS))
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--max_length_dna", type=int, default=2048)
+    p.add_argument("--cpu_devices", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.cpu_devices:
+        from bioreason_tpu.utils import force_cpu_devices
+        force_cpu_devices(args.cpu_devices)
+
+    import jax
+    from bioreason_tpu.data.text_tokenizer import ByteTextTokenizer
+    from bioreason_tpu.models import init_fusion
+
+    tok = ByteTextTokenizer()
+    kind, enc, hyena, dna_tok = build_encoder_config(args.encoder)
+    cfg = FusionConfig(decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
+                       encoder=enc, hyena=hyena, encoder_kind=kind,
+                       dna_pad_token_id=tok.dna_pad_id,
+                       max_length_dna=args.max_length_dna)
+    proc = BioProcessor(tok, dna_tok)
+    params = init_fusion(jax.random.PRNGKey(0), cfg)
+    if args.checkpoint:
+        from bioreason_tpu.train.checkpoint import load_checkpoint
+        from bioreason_tpu.train.lora import merge_lora
+        params = merge_lora(load_checkpoint(args.checkpoint, like=None) or params)
+
+    server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
+                             max_new_tokens=args.max_new_tokens).start()
+    httpd = make_http_server(server, args.port)
+    print(f"serving on :{args.port} (POST /generate, GET /healthz)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+import json
+import threading
+import urllib.request
+
+import jax
+
+from bioreason_tpu.config import FusionConfig, SamplingConfig
+from bioreason_tpu.data import BioProcessor, KmerTokenizer, ByteTextTokenizer
+from bioreason_tpu.models import init_fusion
+from bioreason_tpu.serve import InferenceServer, make_http_server
+
+
+def make_server(max_batch=4, window_ms=30.0):
+    tok = ByteTextTokenizer()
+    cfg = FusionConfig.tiny(text_vocab=tok.vocab_size, dna_pad_token_id=tok.dna_pad_id)
+    params = init_fusion(jax.random.PRNGKey(0), cfg)
+    proc = BioProcessor(tok, KmerTokenizer())
+    return InferenceServer(params, cfg, proc,
+                           sampling=SamplingConfig(max_new_tokens=8),
+                           max_batch=max_batch, batch_window_ms=window_ms,
+                           max_new_tokens=8, greedy_default=True).start()
+
+
+ITEM = {"question": "Which pathway?", "reference_sequence": "ACGTACGTACGT",
+        "variant_sequence": "ACGAACGTACGT", "answer": ""}
+
+
+class TestInferenceServer:
+    def test_single_request(self):
+        srv = make_server()
+        try:
+            out = srv.generate(dict(ITEM), max_new_tokens=8)
+            assert "completion" in out and "answer" in out
+            assert isinstance(out["completion"], str)
+        finally:
+            srv.stop()
+
+    def test_concurrent_requests_micro_batch(self):
+        srv = make_server(max_batch=4, window_ms=200.0)
+        results = [None] * 4
+        try:
+            def call(i):
+                results[i] = srv.generate(dict(ITEM), max_new_tokens=8)
+            threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert all(r is not None and "completion" in r for r in results)
+            # greedy + identical inputs micro-batched together -> identical outputs
+            assert len({r["completion"] for r in results}) == 1
+        finally:
+            srv.stop()
+
+    def test_http_roundtrip(self):
+        srv = make_server()
+        httpd = make_http_server(srv, port=0)          # ephemeral port
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+                assert json.load(r)["status"] == "ok"
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({**ITEM, "max_new_tokens": 8, "greedy": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.load(r)
+            assert "completion" in out
+        finally:
+            httpd.shutdown()
+            srv.stop()
