@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--save_every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--use_vllm", default=None,
+                   help="accepted for reference-CLI compatibility and ignored: "
+                        "rollouts always run on-TPU through the jitted engine "
+                        "(the reference also accepts-and-ignores this, "
+                        "sh_reason.sh:53)")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
