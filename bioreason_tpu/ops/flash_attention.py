@@ -27,8 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# swept on v5e at B=4 T=768 Hq=16 Hkv=8 D=128 bf16 causal
+# (tools/sweep_attention_blocks.py): 256x384 = 1.72 ms vs 128x128 = 2.30 ms
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 384
 NEG_INF = -1e30
 
 
@@ -55,10 +57,12 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0].astype(jnp.float32) * scale              # [BQ, D]
-        k = k_ref[0].astype(jnp.float32)                       # [BK, D]
+        # keep operands in the input dtype (bf16 on TPU: full MXU rate) and
+        # accumulate in fp32; the softmax scale folds into the fp32 scores
+        q = q_ref[0]                                           # [BQ, D]
+        k = k_ref[0]                                           # [BK, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [BQ, BK]
+                                preferred_element_type=jnp.float32) * scale
         mask = mask_ref[0, 0, :] > 0                           # [BK]
         valid = jnp.broadcast_to(mask[None, :], s.shape)
         if causal:
@@ -72,8 +76,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         p = jnp.where(valid, p, 0.0)
         l_cur = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
 
-        v = v_ref[0].astype(jnp.float32)                       # [BK, D]
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        v = v_ref[0]                                           # [BK, D]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_scr[:] = acc_scr[:] * alpha[:, None] + pv
         m_scr[:] = jnp.broadcast_to(m_cur[:, None], m_scr.shape)
@@ -105,11 +109,11 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         mask = mask_ref[0, 0, :] > 0
         valid = jnp.broadcast_to(mask[None, :], s.shape)
         if causal:
@@ -118,11 +122,11 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             valid = valid & (k_pos <= q_pos)
         p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
 
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0][:, None])
-        dq_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+        dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32) * scale
 
     @pl.when(ki == num_k_blocks - 1)
@@ -149,11 +153,11 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run_block)
     def _compute():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)   # [BQ, BK]
+                                preferred_element_type=jnp.float32) * scale  # [BQ, BK]
         mask = mask_ref[0, 0, :] > 0
         valid = jnp.broadcast_to(mask[None, :], s.shape)
         if causal:
@@ -162,15 +166,14 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             valid = valid & (k_pos <= q_pos)
         p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)  # [BQ, BK]
 
-        do = do_ref[0].astype(jnp.float32)                             # [BQ, D]
-        dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        do = do_ref[0]                                                 # [BQ, D]
+        dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)   # [BQ, BK]
         ds = p * (dp - delta_ref[0, 0][:, None])
-        # q is already scaled above, which supplies the d(s)/d(k) scale factor
-        dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
+        dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32) * scale
 
     @pl.when(qi == num_q_blocks - 1)
     def _finalize():

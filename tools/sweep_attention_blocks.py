@@ -1,0 +1,42 @@
+"""Sweep flash-attention block sizes on the real chip (perf tuning tool)."""
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from bioreason_tpu.ops.flash_attention import flash_attention
+
+
+def main():
+    B, T, H, HKV, D = 4, 768, 16, 8, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, HKV, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, HKV, D), jnp.bfloat16)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    for bq, bk in [(128, 128), (128, 256), (256, 128), (256, 256), (128, 384),
+                   (384, 128), (256, 384)]:
+        if T % bq or T % bk:
+            continue
+        f = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(
+            q, k, v, kv_mask=mask, causal=True, block_q=bq, block_k=bk))
+        try:
+            o = f(q, k, v)
+            _ = float(jnp.sum(o.astype(jnp.float32)))
+            t0 = time.perf_counter()
+            for _ in range(30):
+                o = f(q, k, v)
+            _ = float(jnp.sum(o.astype(jnp.float32)))
+            print(f"bq={bq} bk={bk}: {(time.perf_counter()-t0)/30*1000:.3f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"bq={bq} bk={bk}: FAILED {type(e).__name__}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
