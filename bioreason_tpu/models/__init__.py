@@ -5,3 +5,4 @@ from bioreason_tpu.models.fusion import (
     encode_dna, validate_splice,
 )
 from bioreason_tpu.models.classifier import init_classifier, classifier_forward
+from bioreason_tpu.models.api import DnaLLM, DNAClassifier
