@@ -1,0 +1,65 @@
+"""Full GRPO step throughput: rollout + rewards + ref logps + update.
+
+End-to-end trainer-step timing at flagship shape (NT-500M-class encoder +
+Qwen3-0.6B-class decoder, 4 prompts x G=4, 256-token prompts, 64-token
+completions, beta=0.04 so ref logps run every step). Prints one JSON line:
+completions processed per second per chip (a completion = one scored+trained
+rollout sample).
+"""
+
+import json
+import time
+
+
+def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    import dataclasses
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from bioreason_tpu.config import (DecoderConfig, EncoderConfig, FusionConfig,
+                                      GRPOConfig, LoRAConfig, OptimConfig,
+                                      SamplingConfig)
+    from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+    from bioreason_tpu.data.kegg import synthetic_kegg_items, format_kegg_prompt_only
+    from bioreason_tpu.train.grpo import GRPOTrainer
+    from bioreason_tpu.train.rewards import get_reward_funcs
+
+    G, PROMPTS, NEW = 4, 4, 64
+    tok = ByteTextTokenizer()
+    proc = BioProcessor(tok, KmerTokenizer())
+    fusion = FusionConfig(
+        decoder=DecoderConfig.qwen3_0_6b(vocab_size=tok.vocab_size),  # remat on
+        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
+        dna_pad_token_id=tok.dna_pad_id,
+        max_length_text=512, max_length_dna=128)
+    cfg = GRPOConfig(
+        num_generations=G, batch_size=PROMPTS * G, beta=0.04,
+        max_completion_length=NEW,
+        sampling=SamplingConfig(max_new_tokens=NEW),
+        optim=OptimConfig(learning_rate=5e-6, total_steps=100),
+        lora=LoRAConfig(r=32, alpha=64))
+    trainer = GRPOTrainer(fusion, cfg, proc,
+                          get_reward_funcs(["xmlcount", "correctness"]))
+    items = [format_kegg_prompt_only(it)
+             for it in synthetic_kegg_items(PROMPTS, seq_len=600, seed=0)]
+    items = [p for p in items for _ in range(G)]
+
+    trainer.step(items)     # compile everything
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        trainer.step(items)
+    dt = time.perf_counter() - t0
+    completions_per_sec = PROMPTS * G * n / dt
+    print(json.dumps({
+        "metric": "grpo_full_step_completions_per_sec_per_chip",
+        "value": round(completions_per_sec, 2),
+        "unit": "completions/s",
+        "vs_baseline": round(dt / n, 2),   # seconds per optimizer step (info)
+    }))
+
+
+if __name__ == "__main__":
+    main()

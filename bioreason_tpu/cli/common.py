@@ -99,7 +99,17 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="force N virtual CPU devices (testing)")
     p.add_argument("--mesh", default="auto",
                    help="'auto' or 'data,fsdp,model' e.g. '4,2,1'")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast at the op that "
+                        "produced a NaN — the sanitizer story the reference "
+                        "lacks, SURVEY §5)")
     return p
+
+
+def apply_debug_flags(args):
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
 
 def build_mesh(spec: str):

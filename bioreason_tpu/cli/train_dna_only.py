@@ -28,6 +28,8 @@ def main(argv=None):
     if args.cpu_devices:
         from bioreason_tpu.utils import force_cpu_devices
         force_cpu_devices(args.cpu_devices)
+    from bioreason_tpu.cli.common import apply_debug_flags
+    apply_debug_flags(args)
 
     from bioreason_tpu.cli.common import build_mesh, load_items
     from bioreason_tpu.config import OptimConfig

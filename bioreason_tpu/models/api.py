@@ -19,7 +19,6 @@ from bioreason_tpu.data.char_tokenizer import CharDNATokenizer
 from bioreason_tpu.data.nt_tokenizer import KmerTokenizer
 from bioreason_tpu.data.processor import BioProcessor
 from bioreason_tpu.data.text_tokenizer import ByteTextTokenizer
-from bioreason_tpu.generate.engine import GenerationEngine
 from bioreason_tpu.models.classifier import classifier_forward, init_classifier
 from bioreason_tpu.models.fusion import (fusion_forward, init_fusion,
                                          validate_splice)
@@ -49,6 +48,9 @@ class DnaLLM:
         self.processor = BioProcessor(self.text_tokenizer, self.dna_tokenizer)
         self.params = params if params is not None else init_fusion(
             jax.random.PRNGKey(seed), cfg)
+        # lazy import: generate.engine imports models.fusion, so a top-level
+        # import here would make the models package init circular
+        from bioreason_tpu.generate.engine import GenerationEngine
         self.engine = GenerationEngine(cfg, eos_token_id=self.text_tokenizer.eos_token_id)
 
     # -- data ---------------------------------------------------------------
