@@ -88,3 +88,16 @@ def test_apply_chat_template_prompt_only_adds_generation_prompt():
     rendered = apply_chat_template(ex)["prompt"]
     assert rendered.endswith("<|im_start|>assistant\n")
     assert rendered.count("<|dna_pad|>") == 2
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TEMPLATE_PATH), reason="reference not mounted")
+def test_add_dna_id_matches_reference_template():
+    ns: dict = {}
+    with open(REF_TEMPLATE_PATH) as f:
+        exec(f.read(), ns)
+    messages = SAMPLE_MESSAGE_SETS[0]
+    ours = render_chat(messages, add_dna_id=True)
+    ref = _render_with_jinja(ns["CHAT_TEMPLATE"], messages, add_generation_prompt=False,
+                             add_dna_id=True, tools=None)
+    assert ours == ref
+    assert "DNA Sequence1:" in ours and "DNA Sequence2:" in ours
