@@ -1,8 +1,8 @@
 """GRPO rollout throughput benchmark (BASELINE target: >=5k tokens/s/chip).
 
 Measures the jitted prefill+decode engine on the flagship shape: NT-500M-class
-encoder + Qwen3-0.6B-class decoder, 8 unique prompts x G=8 grouped completions
-with prefix-shared prefill, temperature/top-p/top-k sampling at the reference
+encoder + Qwen3-0.6B-class decoder, 16 unique prompts x G=8 grouped completions
+(128 concurrent rows) with prefix-shared prefill, temperature/top-p/top-k sampling at the reference
 values. Prints one JSON line: decoded tokens per second per chip.
 """
 
@@ -24,7 +24,7 @@ def main():
     from bioreason_tpu.generate.engine import GenerationEngine
     from bioreason_tpu.models import init_fusion
 
-    N_PROMPTS, G, P_TEXT, S_DNA, L_DNA, NEW = 8, 8, 256, 16, 128, 128
+    N_PROMPTS, G, P_TEXT, S_DNA, L_DNA, NEW = 16, 8, 256, 32, 128, 128
 
     cfg = FusionConfig(
         decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
