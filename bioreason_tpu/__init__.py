@@ -15,3 +15,19 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "DnaLLM": "bioreason_tpu.models.api",
+    "DNAClassifier": "bioreason_tpu.models.api",
+    "BioProcessor": "bioreason_tpu.data.processor",
+    "FusionConfig": "bioreason_tpu.config",
+    "GenerationEngine": "bioreason_tpu.generate.engine",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (importing bioreason_tpu stays jax-free)."""
+    if name in _LAZY:
+        import importlib
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'bioreason_tpu' has no attribute {name!r}")
