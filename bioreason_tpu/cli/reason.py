@@ -24,6 +24,15 @@ def main(argv=None):
     p.add_argument("--decoder", default="qwen3-0.6b", choices=sorted(DECODER_PRESETS))
     p.add_argument("--encoder", default="nt-500m", choices=sorted(ENCODER_PRESETS))
     p.add_argument("--sft_checkpoint", default=None)
+    p.add_argument("--hf_llm_dir", default=None,
+                   help="local HF Qwen3 checkpoint dir (weights + tokenizer); "
+                        "overrides --decoder (reference dna_llm.py:64-74)")
+    p.add_argument("--hf_dna_dir", default=None,
+                   help="local HF NT-v2/ESM checkpoint dir; overrides "
+                        "--encoder (reference dna_llm.py:79-83)")
+    p.add_argument("--max_prompt_length", type=int, default=None,
+                   help="truncate prompts to this many tokens "
+                        "(reference grpo_config.py:174-177)")
     p.add_argument("--reward_funcs", nargs="+",
                    default=["xmlcount", "soft_format", "correctness"])
     p.add_argument("--num_generations", type=int, default=8)
@@ -63,13 +72,24 @@ def main(argv=None):
     from bioreason_tpu.train.metrics import MetricsLogger
     from bioreason_tpu.train.rewards import get_reward_funcs
 
-    tok = ByteTextTokenizer()
-    proc = BioProcessor(tok, KmerTokenizer())
-    fusion_cfg = FusionConfig(
-        decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
-        encoder=ENCODER_PRESETS[args.encoder](),
-        dna_pad_token_id=tok.dna_pad_id,
-        max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+    pretrained_params = None
+    if args.hf_llm_dir:
+        from bioreason_tpu.utils.pretrained import load_pretrained_fusion
+        if not args.hf_dna_dir:
+            p.error("--hf_llm_dir requires --hf_dna_dir")
+        fusion_cfg, pretrained_params, tok, dna_tok = load_pretrained_fusion(
+            args.hf_llm_dir, args.hf_dna_dir,
+            max_length_text=args.max_length_text,
+            max_length_dna=args.max_length_dna, seed=args.seed)
+        proc = BioProcessor(tok, dna_tok)
+    else:
+        tok = ByteTextTokenizer()
+        proc = BioProcessor(tok, KmerTokenizer())
+        fusion_cfg = FusionConfig(
+            decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
+            encoder=ENCODER_PRESETS[args.encoder](),
+            dna_pad_token_id=tok.dna_pad_id,
+            max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
 
     lora_cfg = LoRAConfig(r=args.lora_r, alpha=args.lora_alpha)
     params = None
@@ -84,6 +104,8 @@ def main(argv=None):
         except Exception:
             sft_params = load_checkpoint(args.sft_checkpoint, like=base)
         params = sft_to_grpo_params(sft_params, jax.random.fold_in(rng, 2), lora_cfg)
+    elif pretrained_params is not None:
+        params = pretrained_params   # GRPOTrainer attaches fresh LoRA adapters
 
     raw = (list(KEGGDataset(args.data_dir).data) if args.data_dir
            else synthetic_kegg_items(args.n_synthetic, seq_len=512, seed=args.seed))
@@ -96,6 +118,7 @@ def main(argv=None):
         num_generations=args.num_generations, batch_size=args.batch_size,
         num_iterations=args.num_iterations, beta=args.beta, epsilon=args.epsilon,
         max_completion_length=args.max_completion_length,
+        max_prompt_length=args.max_prompt_length,
         sampling=SamplingConfig(max_new_tokens=args.max_completion_length),
         optim=OptimConfig(learning_rate=args.learning_rate or 5e-6, total_steps=steps),
         lora=lora_cfg, seed=args.seed)
@@ -117,10 +140,15 @@ def main(argv=None):
             metrics = trainer.step([prompts[i] for i in idx])
             logger.log({f"grpo/{k}": v for k, v in metrics.items()}, step=step)
             if getattr(trainer, "last_completions", None):
-                # log_completions (reference grpo_config.py:344-354, :718-738)
-                logger.log_table("completions", ["step", "completion"],
-                                 [[step, c[:400]] for c in trainer.last_completions[:4]],
-                                 step=step)
+                # log_completions (reference grpo_config.py:344-354, :718-738:
+                # the wandb table carries step, prompt, completion, reward)
+                rows = [[step, pr[-200:], c[:400], r]
+                        for pr, c, r in zip(trainer.last_prompts,
+                                            trainer.last_completions,
+                                            trainer.last_rewards)][:4]
+                logger.log_table("completions",
+                                 ["step", "prompt", "completion", "reward"],
+                                 rows, step=step)
             step += 1
             if args.save_every and step % args.save_every == 0:
                 trainer.save(state_path)

@@ -24,6 +24,14 @@ def main(argv=None):
                    choices=sorted(ENCODER_PRESETS) + sorted(HYENA_PRESETS))
     p.add_argument("--dna_embedding_layer", type=int, default=-1,
                    help="Evo2 named-layer embedding tap (block index)")
+    p.add_argument("--hf_llm_dir", default=None,
+                   help="local HF Qwen3 checkpoint dir (weights + tokenizer); "
+                        "overrides --decoder with the real pretrained tower "
+                        "(reference dna_llm.py:64-74)")
+    p.add_argument("--hf_dna_dir", default=None,
+                   help="local HF NT-v2/ESM checkpoint dir; overrides "
+                        "--encoder with the real pretrained DNA tower "
+                        "(reference dna_llm.py:79-83)")
     p.add_argument("--llm_only", action="store_true",
                    help="paste DNA into text instead of encoder fusion")
     p.add_argument("--lora_r", type=int, default=32)
@@ -68,19 +76,34 @@ def main(argv=None):
     from bioreason_tpu.train.sft import SFTTrainer
 
     from bioreason_tpu.cli.common import build_encoder_config
-    tok = ByteTextTokenizer()
-    encoder_kind, enc_cfg, hyena_cfg, dna_tok = build_encoder_config(
-        args.encoder, args.dna_embedding_layer)
+    init_params = None
+    if args.hf_llm_dir:
+        # pretrained path: real Qwen3 (+ NT-v2) towers from local HF dirs
+        # (reference loads these from the hub, dna_llm.py:64-90)
+        from bioreason_tpu.utils.pretrained import load_pretrained_fusion
+        if not args.hf_dna_dir and not args.llm_only:
+            p.error("--hf_llm_dir requires --hf_dna_dir (or --llm_only)")
+        fusion_cfg, init_params, tok, dna_tok = load_pretrained_fusion(
+            args.hf_llm_dir, args.hf_dna_dir,
+            max_length_text=args.max_length_text,
+            max_length_dna=args.max_length_dna, seed=args.seed)
+        if dna_tok is None:
+            dna_tok = KmerTokenizer()
+        print(f"loaded pretrained towers: llm={args.hf_llm_dir} "
+              f"(vocab {fusion_cfg.decoder.vocab_size}), dna={args.hf_dna_dir}")
+    else:
+        tok = ByteTextTokenizer()
+        encoder_kind, enc_cfg, hyena_cfg, dna_tok = build_encoder_config(
+            args.encoder, args.dna_embedding_layer)
+        fusion_cfg = FusionConfig(
+            decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
+            encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
+            dna_pad_token_id=tok.dna_pad_id,
+            max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
     proc = BioProcessor(tok, dna_tok)
     train_items, val_items, test_items = load_items(
         args.dataset_type, args.data_dir, args.n_synthetic,
         args.truncate_dna_per_side, args.seed, llm_only=args.llm_only)
-
-    fusion_cfg = FusionConfig(
-        decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
-        encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
-        dna_pad_token_id=tok.dna_pad_id,
-        max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
 
     steps_per_epoch = max(1, len(train_items) // args.batch_size)
     total_steps = args.max_steps or steps_per_epoch * args.num_epochs
@@ -93,7 +116,7 @@ def main(argv=None):
         seed=args.seed)
 
     mesh = build_mesh(args.mesh)
-    trainer = SFTTrainer(fusion_cfg, sft_cfg, mesh=mesh)
+    trainer = SFTTrainer(fusion_cfg, sft_cfg, mesh=mesh, params=init_params)
     state_path = os.path.join(args.checkpoint_dir, "sft_state")
     if args.resume and os.path.exists(state_path):
         trainer.restore(state_path)

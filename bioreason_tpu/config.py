@@ -68,7 +68,11 @@ class EncoderConfig:
     num_heads: int = 16
     rope_theta: float = 10_000.0
     norm_eps: float = 1e-12
-    use_swiglu: bool = True          # NT-v2 uses SwiGLU
+    use_swiglu: bool = True          # NT-v2 uses SwiGLU (gated MLP); ESM2: gelu
+    attn_bias: bool = True           # ESM q/k/v/o denses carry biases
+    mlp_bias: bool = False           # NT-v2 add_bias_fnn=False; plain ESM2: True
+    token_dropout: bool = False      # ESM-style inference-time embed rescale
+    mask_token_id: int = 2           # <mask> id (KmerTokenizer layout)
     attention_impl: str = "auto"
     remat: bool = True
     dtype: str = "bfloat16"
@@ -204,6 +208,10 @@ class SamplingConfig:
 @dataclass(frozen=True)
 class GRPOConfig:
     num_generations: int = 8         # G (grpo_config.py:170)
+    max_prompt_length: Optional[int] = None  # keep LAST N prompt tokens
+                                     # (grpo_config.py:174-177; TRL slices
+                                     # prompt_ids[:, -N:]). Raises if it would
+                                     # cut <|dna_pad|> tokens (splice check).
     max_completion_length: int = 800
     num_iterations: int = 1          # mu (grpo_config.py:298)
     beta: float = 0.04               # KL coeff (grpo_config.py:291)

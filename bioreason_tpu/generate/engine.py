@@ -33,15 +33,32 @@ from bioreason_tpu.ops.sampling import sample_logits, completion_mask_from_eos
 
 class GenerationEngine:
     def __init__(self, fusion_cfg: FusionConfig, eos_token_id: int,
-                 pad_token_id: Optional[int] = None):
+                 pad_token_id: Optional[int] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — prompt/DNA inputs are
+        device_put with the batch PartitionSpec so GSPMD keeps the rollout
+        data-parallel instead of receiving replicated host arrays (the
+        all-gather the reference pays through accelerate is never needed)."""
         self.cfg = fusion_cfg
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id if pad_token_id is not None else eos_token_id
+        self.mesh = mesh
         self._jit_generate = jax.jit(
             self._generate,
             static_argnames=("max_new_tokens", "temperature", "top_k", "top_p",
                              "greedy", "group_size"),
         )
+
+    def _put(self, arr, batch_dim: bool = True):
+        if arr is None:
+            return None
+        arr = np.asarray(arr)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding
+        from bioreason_tpu.parallel.partition import batch_spec, _valid_spec
+        from jax.sharding import PartitionSpec as P
+        spec = _valid_spec(batch_spec() if batch_dim else P(), arr.shape, self.mesh)
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     # -- core jitted routine -------------------------------------------------
 
@@ -51,15 +68,19 @@ class GenerationEngine:
                   top_p: float, greedy: bool, group_size: int = 1):
         cfg = self.cfg.decoder
         b, p = input_ids.shape
-        total = p + max_new_tokens
         dtype = jnp.dtype(cfg.dtype)
+        grouped = group_size > 1
 
         embeds = fused_input_embeddings(params, self.cfg, input_ids,
                                         dna_input_ids, dna_attention_mask)
 
-        cache = init_cache(cfg, b, total, dtype)
+        # Prefill cache: prompt slots only when grouped (decode slots live in
+        # a separate per-completion buffer); prompt+decode slots otherwise.
+        prefill_len = p if grouped else p + max_new_tokens
+        cache = init_cache(cfg, b, prefill_len, dtype)
         prompt_positions = L.positions_from_mask(attention_mask)
-        cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+        cache_mask0 = (attention_mask if grouped
+                       else jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens))))
         logits, cache = decoder_forward(
             params["decoder"], cfg, inputs_embeds=embeds,
             attention_mask=attention_mask, positions=prompt_positions,
@@ -67,21 +88,29 @@ class GenerationEngine:
         # prompts are LEFT-padded: last column is the last real token for every row
         last_logits = logits[:, -1, :]
 
-        if group_size > 1:
-            # GRPO prefix sharing: prefill ran once per UNIQUE prompt; expand
-            # the cache G times (contiguous per group, matching the repeat
-            # sampler's group layout) before sampling G completions each.
-            # Replaces the reference's G-fold redundant prefill through
-            # HF generate (grpo_trainer.py:579-596).
-            cache = jax.tree.map(lambda a: jnp.repeat(a, group_size, axis=0), cache)
+        if grouped:
+            # GRPO prefix sharing: prefill ran once per UNIQUE prompt. The
+            # prompt KV cache stays [B_u, P] and is READ SHARED by all G
+            # completions every decode step (qwen3.decoder_decode_step_grouped)
+            # — no G-fold jnp.repeat HBM copy, and 1/G the prompt-cache
+            # bandwidth vs the expanded layout. Replaces the reference's
+            # G-fold redundant prefill through HF generate
+            # (grpo_trainer.py:579-596).
+            from bioreason_tpu.models.qwen3 import (decoder_decode_step_grouped,
+                                                    init_decode_cache)
             last_logits = jnp.repeat(last_logits, group_size, axis=0)
-            attention_mask = jnp.repeat(attention_mask, group_size, axis=0)
-            cache_mask0 = jnp.repeat(cache_mask0, group_size, axis=0)
-            b = b * group_size
+            prompt_lens = jnp.repeat(attention_mask.sum(axis=-1), group_size
+                                     ).astype(jnp.int32)          # [B_u*G]
+            bg = b * group_size
+            dec_cache = init_decode_cache(cfg, bg, max_new_tokens, dtype)
+            dec_mask0 = jnp.zeros((bg, max_new_tokens), jnp.int32)
+        else:
+            prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)
+            bg = b
+            dec_cache, dec_mask0 = None, cache_mask0
 
-        prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)   # [B]
-        out_tokens = jnp.full((b, max_new_tokens), self.pad_token_id, jnp.int32)
-        done = jnp.zeros((b,), bool)
+        out_tokens = jnp.full((bg, max_new_tokens), self.pad_token_id, jnp.int32)
+        done = jnp.zeros((bg,), bool)
 
         def sample(rng, logits_row):
             return sample_logits(rng, logits_row, temperature=temperature,
@@ -97,25 +126,34 @@ class GenerationEngine:
             return (step < max_new_tokens) & ~jnp.all(done)
 
         def body(state):
-            step, done, out_tokens, cache, cache_mask, rng = state
-            cur = jax.lax.dynamic_slice(out_tokens, (0, step - 1), (b, 1))   # [B,1]
-            # register the newly generated token as a valid cache slot
-            cache_mask = jax.lax.dynamic_update_slice(
-                cache_mask, jnp.ones((b, 1), cache_mask.dtype), (0, p + step - 1))
+            step, done, out_tokens, kv, kv_mask, rng = state
+            cur = jax.lax.dynamic_slice(out_tokens, (0, step - 1), (bg, 1))  # [B,1]
             positions = (prompt_lens + step - 1)[:, None]
-            step_logits, cache = decoder_forward(
-                params["decoder"], cfg, input_ids=cur,
-                attention_mask=jnp.ones((b, 1), jnp.int32),
-                positions=positions, cache=cache, cache_index=p + step - 1,
-                cache_mask=cache_mask)
+            if grouped:
+                # register slot step-1 as valid, then attend to shared prompt
+                # KV + per-completion decode KV in one softmax
+                kv_mask = jax.lax.dynamic_update_slice(
+                    kv_mask, jnp.ones((bg, 1), kv_mask.dtype), (0, step - 1))
+                step_logits, kv = decoder_decode_step_grouped(
+                    params["decoder"], cfg, cur, positions,
+                    cache, attention_mask, kv, step - 1, kv_mask, group_size)
+            else:
+                kv_mask = jax.lax.dynamic_update_slice(
+                    kv_mask, jnp.ones((bg, 1), kv_mask.dtype), (0, p + step - 1))
+                step_logits, kv = decoder_forward(
+                    params["decoder"], cfg, input_ids=cur,
+                    attention_mask=jnp.ones((bg, 1), jnp.int32),
+                    positions=positions, cache=kv, cache_index=p + step - 1,
+                    cache_mask=kv_mask)
             rng, k = jax.random.split(rng)
             tok = sample(k, step_logits[:, 0, :])
             tok = jnp.where(done, self.pad_token_id, tok)
             out_tokens = jax.lax.dynamic_update_slice(out_tokens, tok[:, None], (0, step))
             done = done | (tok == self.eos_token_id)
-            return step + 1, done, out_tokens, cache, cache_mask, rng
+            return step + 1, done, out_tokens, kv, kv_mask, rng
 
-        state = (jnp.asarray(1), done, out_tokens, cache, cache_mask0, rng)
+        state = (jnp.asarray(1), done, out_tokens,
+                 dec_cache if grouped else cache, dec_mask0, rng)
         _, done, out_tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
 
         completion_mask = completion_mask_from_eos(out_tokens, self.eos_token_id)
@@ -140,9 +178,8 @@ class GenerationEngine:
         mnt = max_new_tokens if max_new_tokens is not None else sampling.max_new_tokens
         tokens, mask = self._jit_generate(
             params, rng,
-            jnp.asarray(input_ids), jnp.asarray(attention_mask),
-            None if dna_input_ids is None else jnp.asarray(dna_input_ids),
-            None if dna_attention_mask is None else jnp.asarray(dna_attention_mask),
+            self._put(input_ids), self._put(attention_mask),
+            self._put(dna_input_ids), self._put(dna_attention_mask),
             max_new_tokens=mnt, temperature=sampling.temperature,
             top_k=sampling.top_k, top_p=sampling.top_p, greedy=greedy,
             group_size=group_size)

@@ -13,22 +13,32 @@ import jax
 import jax.numpy as jnp
 
 
-def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None):
-    """He/LeCun-style normal init (stddev 1/sqrt(in_dim) unless overridden)."""
+def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None,
+               bias: bool = False):
+    """He/LeCun-style normal init (stddev 1/sqrt(in_dim) unless overridden).
+
+    `bias=True` adds a zero-initialized bias leaf — needed to represent real
+    HF ESM/NT-v2 checkpoints, whose q/k/v/o and MLP denses carry biases
+    (reference loads them via AutoModelForMaskedLM, dna_llm.py:79-83)."""
     std = scale if scale is not None else in_dim ** -0.5
-    return {"kernel": jax.random.normal(rng, (in_dim, out_dim), jnp.float32) * std}
+    p = {"kernel": jax.random.normal(rng, (in_dim, out_dim), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
 
 
 def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None):
-    """Linear layer; transparently applies a LoRA adapter when the param dict
-    carries `lora_a`/`lora_b` leaves (see train/lora.py):
-    y = x@W + (x@A)@B * scale.
+    """Linear layer; adds a bias when the param dict carries a `bias` leaf and
+    transparently applies a LoRA adapter when it carries `lora_a`/`lora_b`
+    leaves (see train/lora.py): y = x@W [+ b] + (x@A)@B * scale.
 
     `lora_dropout`: optional (rng_key, rate) applying inverted dropout to the
     ADAPTER input only (PEFT lora_dropout semantics; reference uses 0.05,
     train_dna_qwen.py LoraConfig)."""
     x = x.astype(dtype)
     y = x @ params["kernel"].astype(dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(dtype)
     if "lora_a" in params:
         a = params["lora_a"].astype(dtype)
         b = params["lora_b"].astype(dtype)
@@ -75,11 +85,11 @@ def layernorm(params, x, eps: float = 1e-12):
     return (y * params["scale"] + params["bias"]).astype(dtype)
 
 
-def swiglu_init(rng, dim: int, hidden: int):
+def swiglu_init(rng, dim: int, hidden: int, bias: bool = False):
     k1, k2, k3 = jax.random.split(rng, 3)
-    return {"gate": dense_init(k1, dim, hidden),
-            "up": dense_init(k2, dim, hidden),
-            "down": dense_init(k3, hidden, dim)}
+    return {"gate": dense_init(k1, dim, hidden, bias=bias),
+            "up": dense_init(k2, dim, hidden, bias=bias),
+            "down": dense_init(k3, hidden, dim, bias=bias)}
 
 
 def swiglu(params, x, dtype=jnp.bfloat16, lora_dropout=None):
@@ -93,13 +103,16 @@ def swiglu(params, x, dtype=jnp.bfloat16, lora_dropout=None):
     return dense(params["down"], jax.nn.silu(g) * u, dtype, drop(2))
 
 
-def gelu_mlp_init(rng, dim: int, hidden: int):
+def gelu_mlp_init(rng, dim: int, hidden: int, bias: bool = False):
     k1, k2 = jax.random.split(rng)
-    return {"up": dense_init(k1, dim, hidden), "down": dense_init(k2, hidden, dim)}
+    return {"up": dense_init(k1, dim, hidden, bias=bias),
+            "down": dense_init(k2, hidden, dim, bias=bias)}
 
 
 def gelu_mlp(params, x, dtype=jnp.bfloat16):
-    return dense(params["down"], jax.nn.gelu(dense(params["up"], x, dtype)), dtype)
+    # exact (erf) gelu: HF ESM uses F.gelu default, not the tanh approximation
+    up = dense(params["up"], x, dtype)
+    return dense(params["down"], jax.nn.gelu(up, approximate=False), dtype)
 
 
 # ---------------------------------------------------------------------------

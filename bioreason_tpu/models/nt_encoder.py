@@ -28,17 +28,18 @@ def init_encoder(rng, cfg: EncoderConfig) -> Dict:
     def init_layer(k):
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         d = cfg.hidden_size
+        ab, mb = cfg.attn_bias, cfg.mlp_bias
         return {
             "ln1": L.layernorm_init(d),
             "attn": {
-                "q": L.dense_init(k1, d, d),
-                "k": L.dense_init(k2, d, d),
-                "v": L.dense_init(k3, d, d),
-                "o": L.dense_init(k4, d, d),
+                "q": L.dense_init(k1, d, d, bias=ab),
+                "k": L.dense_init(k2, d, d, bias=ab),
+                "v": L.dense_init(k3, d, d, bias=ab),
+                "o": L.dense_init(k4, d, d, bias=ab),
             },
             "ln2": L.layernorm_init(d),
-            "mlp": (L.swiglu_init(k5, d, cfg.intermediate_size) if cfg.use_swiglu
-                    else L.gelu_mlp_init(k5, d, cfg.intermediate_size)),
+            "mlp": (L.swiglu_init(k5, d, cfg.intermediate_size, bias=mb) if cfg.use_swiglu
+                    else L.gelu_mlp_init(k5, d, cfg.intermediate_size, bias=mb)),
         }
 
     return {
@@ -56,6 +57,17 @@ def encoder_forward(params: Dict, cfg: EncoderConfig, input_ids: jnp.ndarray,
     b, t, _ = h.shape
     if attention_mask is None:
         attention_mask = jnp.ones((b, t), jnp.int32)
+    # HF EsmEmbeddings fidelity: ESM-style token dropout rescales embeddings
+    # by (1-0.12)/(1-observed mask ratio) with <mask> embeds zeroed, and pad
+    # positions are zeroed (both affect only imported-weight numerics; pads
+    # are masked out of attention anyway).
+    if cfg.token_dropout:
+        is_mask = (input_ids == cfg.mask_token_id)
+        h = jnp.where(is_mask[..., None], 0.0, h)
+        src_len = jnp.maximum(attention_mask.sum(-1), 1).astype(jnp.float32)
+        observed = is_mask.sum(-1).astype(jnp.float32) / src_len
+        h = h * ((1.0 - 0.15 * 0.8) / (1.0 - observed))[:, None, None].astype(dtype)
+    h = h * attention_mask[..., None].astype(dtype)
     positions = L.positions_from_mask(attention_mask)
 
     def body(h, lp):

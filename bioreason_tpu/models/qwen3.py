@@ -197,6 +197,112 @@ def decoder_forward(
     return logits, new_cache
 
 
+# ---------------------------------------------------------------------------
+# Grouped decode: G completions share one prompt KV cache (GRPO rollouts).
+#
+# The engine's first implementation expanded the prompt cache G-fold with
+# jnp.repeat (VERDICT r1 item 5: a large avoidable HBM spike AND G x the
+# prompt-cache bandwidth every decode step — decode attention is bandwidth
+# bound). Here the prompt KV stays [B_u, P] (shared, read once per group)
+# and only the decode slots live per-completion [B_u*G, N]; the two logit
+# blocks are merged in ONE numerically-exact softmax.
+# ---------------------------------------------------------------------------
+
+
+def init_decode_cache(cfg: DecoderConfig, batch: int, max_new: int,
+                      dtype=jnp.bfloat16):
+    """Per-layer decode-slot KV cache: [B, max_new, Hkv, D] per layer."""
+    shape = (batch, max_new, cfg.num_kv_heads, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.num_layers)]
+
+
+def _grouped_decode_attention(q, pk, pv, prompt_mask, dk, dv, dec_mask, group: int):
+    """q: [B_u*G, 1, Hq, D]; pk/pv: [B_u, P, Hkv, D] (shared per group);
+    dk/dv: [B_u*G, N, Hkv, D]; prompt_mask: [B_u, P]; dec_mask: [B_u*G, N].
+    Returns [B_u*G, 1, Hq, D]."""
+    bg, _, hq, d = q.shape
+    bu, p_len, hkv, _ = pk.shape
+    n = dk.shape[1]
+    gr = hq // hkv
+    scale = d ** -0.5
+    neg = jnp.finfo(jnp.float32).min
+
+    qg = q.reshape(bu, group, hkv, gr, d)
+    # prompt block: shared keys read ONCE per group (not per completion)
+    lp = jnp.einsum("bghrd,bphd->bghrp", qg, pk,
+                    preferred_element_type=jnp.float32) * scale
+    lp = jnp.where(prompt_mask[:, None, None, None, :].astype(bool), lp, neg)
+    # decode block: per-completion keys
+    qd = q.reshape(bg, hkv, gr, d)
+    ld = jnp.einsum("bhrd,bnhd->bhrn", qd, dk,
+                    preferred_element_type=jnp.float32) * scale
+    ld = jnp.where(dec_mask[:, None, None, :].astype(bool), ld, neg)
+
+    # one softmax across both blocks
+    both = jnp.concatenate([lp.reshape(bg, hkv, gr, p_len), ld], axis=-1)
+    probs = jax.nn.softmax(both, axis=-1).astype(q.dtype)
+    probs_p = probs[..., :p_len].reshape(bu, group, hkv, gr, p_len)
+    probs_d = probs[..., p_len:]
+    out = (jnp.einsum("bghrp,bphd->bghrd", probs_p, pv)
+           .reshape(bg, hkv, gr, d)
+           + jnp.einsum("bhrn,bnhd->bhrd", probs_d, dv))
+    return out.reshape(bg, 1, hq, d)
+
+
+def decoder_decode_step_grouped(params: Dict, cfg: DecoderConfig,
+                                input_ids: jnp.ndarray, positions: jnp.ndarray,
+                                prompt_cache, prompt_mask: jnp.ndarray,
+                                dec_cache, dec_index, dec_mask: jnp.ndarray,
+                                group: int):
+    """One decode step for B_u*G rows sharing B_u prompt caches.
+
+    input_ids [B_u*G, 1]; positions [B_u*G, 1]; prompt_cache = per-layer
+    {k,v} [B_u, P, ...] (NOT written); dec_cache = per-layer {k,v}
+    [B_u*G, N, ...] written at dec_index; dec_mask [B_u*G, N] marks valid
+    decode slots INCLUDING the one being written. Returns (logits, dec_cache).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    h = L.embed(params["embed"], input_ids, dtype)
+    bg, t, _ = h.shape
+
+    new_cache = []
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda x: x[i], params["layers"])
+        x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
+        q = L.dense(lp["attn"]["q"], x, dtype).reshape(bg, t, cfg.num_heads, cfg.head_dim)
+        k = L.dense(lp["attn"]["k"], x, dtype).reshape(bg, t, cfg.num_kv_heads, cfg.head_dim)
+        v = L.dense(lp["attn"]["v"], x, dtype).reshape(bg, t, cfg.num_kv_heads, cfg.head_dim)
+        q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
+        k = L.rmsnorm(lp["attn"]["k_norm"], k, cfg.rms_norm_eps)
+        q = L.apply_rope(q, positions, cfg.rope_theta)
+        k = L.apply_rope(k, positions, cfg.rope_theta)
+
+        dk = jax.lax.dynamic_update_slice(dec_cache[i]["k"],
+                                          k.astype(dec_cache[i]["k"].dtype),
+                                          (0, dec_index, 0, 0))
+        dv = jax.lax.dynamic_update_slice(dec_cache[i]["v"],
+                                          v.astype(dec_cache[i]["v"].dtype),
+                                          (0, dec_index, 0, 0))
+        new_cache.append({"k": dk, "v": dv})
+
+        attn = _grouped_decode_attention(
+            q, prompt_cache[i]["k"].astype(dtype), prompt_cache[i]["v"].astype(dtype),
+            prompt_mask, dk.astype(dtype), dv.astype(dtype), dec_mask, group)
+        h = h + L.dense(lp["attn"]["o"], attn.reshape(bg, t, -1), dtype)
+        x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
+        h = h + L.swiglu(lp["mlp"], x, dtype)
+
+    h = L.rmsnorm(params["final_norm"], h, cfg.rms_norm_eps)
+    if "lm_head" in params:
+        logits = jnp.einsum("bth,hv->btv", h, params["lm_head"]["kernel"].astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,vh->btv", h, params["embed"]["embedding"].astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                        ignore_index: int = -100) -> jnp.ndarray:
     """Shifted causal LM loss, mean over supervised tokens (HF semantics:

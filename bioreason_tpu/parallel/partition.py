@@ -2,7 +2,7 @@
 
 The reference's parallelism (SURVEY §2.3) maps onto GSPMD:
   * DDP / ZeRO-2            -> params replicated over 'data', optimizer state
-                               sharded over ('fsdp','data') (zero2_opt_specs)
+                               sharded over 'data' (zero2_sharding)
   * dead HF TP plan
     (configuration_dl.py:150-158) -> realized here: q/k/v/gate/up colwise
                                ('model' on the output dim), o/down rowwise
@@ -129,20 +129,18 @@ def batch_spec() -> P:
     return P(("data", "fsdp"))
 
 
-def zero2_opt_specs(param_specs, params, mesh: Mesh):
-    """ZeRO-2 analogue (SURVEY §2.3): shard optimizer moments over 'data' on
-    the first axis where it divides evenly and the param spec leaves it free;
-    fall back to the param's own spec."""
+def zero2_sharding(shape_dtype, mesh: Mesh) -> NamedSharding:
+    """ZeRO-2 analogue (SURVEY §2.3 / ds_config_stage2.json): shard an
+    optimizer-state leaf over 'data' on the first axis that divides evenly.
+    Applied leaf-wise to `jax.eval_shape(tx.init, ...)` output, so it works
+    for any optax state structure (incl. MultiSteps wrappers); XLA emits the
+    reduce-scatter/all-gather DeepSpeed does by hand."""
+    shape = shape_dtype.shape
     dp = mesh.shape["data"]
-
-    def one(spec: P, leaf):
-        shape = leaf.shape
-        names = list(spec) + [None] * (len(shape) - len(spec))
-        if dp > 1:
-            for i, (n, s) in enumerate(zip(names, shape)):
-                if n is None and s % dp == 0 and s >= dp:
-                    names[i] = "data"
-                    break
-        return P(*names)
-
-    return jax.tree.map(one, param_specs, params)
+    names = [None] * len(shape)
+    if dp > 1:
+        for i, s in enumerate(shape):
+            if s % dp == 0 and s >= dp:
+                names[i] = "data"
+                break
+    return NamedSharding(mesh, P(*names))

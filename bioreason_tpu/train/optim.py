@@ -4,7 +4,7 @@ Reference semantics: AdamW, cosine decay, 10% warmup, grad clip 1.0
 (train_dna_qwen.py:393-411, pl.Trainer gradient_clip_val=1.0 :1002).
 ZeRO-2's optimizer-state sharding is NOT an optimizer concern here — it falls
 out of GSPMD by giving the optax state pytree sharded PartitionSpecs
-(parallel/partition.py:zero2_opt_specs).
+(parallel/partition.py:zero2_sharding).
 """
 
 from __future__ import annotations

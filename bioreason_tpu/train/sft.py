@@ -27,24 +27,13 @@ from bioreason_tpu.config import FusionConfig, SFTConfig, MeshConfig
 from bioreason_tpu.models.fusion import init_fusion, fusion_forward, validate_splice
 from bioreason_tpu.parallel.mesh import make_mesh
 from bioreason_tpu.parallel.partition import (
-    partition_rules_fusion, shardings_for_params, batch_spec, _valid_spec)
+    partition_rules_fusion, shardings_for_params, batch_spec, zero2_sharding,
+    _valid_spec)
 from bioreason_tpu.train import trainable as T
 from bioreason_tpu.train.lora import attach_lora
 from bioreason_tpu.train.optim import make_optimizer
 
 BATCH_KEYS = ("input_ids", "attention_mask", "dna_input_ids", "dna_attention_mask", "labels")
-
-
-def _zero2_sharding(shape_dtype, mesh: Mesh):
-    shape = shape_dtype.shape
-    dp = mesh.shape["data"]
-    names = [None] * len(shape)
-    if dp > 1:
-        for i, s in enumerate(shape):
-            if s % dp == 0 and s >= dp:
-                names[i] = "data"
-                break
-    return NamedSharding(mesh, P(*names))
 
 
 class SFTTrainer:
@@ -87,7 +76,7 @@ class SFTTrainer:
             # train_dna_qwen.py:1001): optimizer applies every N micro-steps
             self.tx = optax.MultiSteps(self.tx, cfg.grad_accum_steps)
         opt_shapes = jax.eval_shape(self.tx.init, self.train_leaves)
-        opt_shardings = jax.tree.map(lambda s: _zero2_sharding(s, self.mesh), opt_shapes)
+        opt_shardings = jax.tree.map(lambda s: zero2_sharding(s, self.mesh), opt_shapes)
         self.opt_state = jax.jit(self.tx.init, out_shardings=opt_shardings)(self.train_leaves)
 
         self.step = 0

@@ -112,24 +112,63 @@ def import_qwen3(state: Dict[str, np.ndarray], cfg: DecoderConfig,
 
 MapRule = Tuple[str, str, bool]  # (regex with (?P<i>...) , dst template, transpose)
 
-# Starting-point rules for NT-v2-style ESM checkpoints (remote-code naming
-# varies between releases; override per checkpoint as needed).
-NT_V2_RULES: List[MapRule] = [
-    (r"esm\.embeddings\.word_embeddings\.weight", "embed/embedding", False),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.query\.weight", "layers/attn/q/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.key\.weight", "layers/attn/k/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.value\.weight", "layers/attn/v/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.output\.dense\.weight", "layers/attn/o/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.LayerNorm\.weight", "layers/ln1/scale", False),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.attention\.LayerNorm\.bias", "layers/ln1/bias", False),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.intermediate\.dense\.weight", "layers/mlp/up/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.gate\.dense\.weight", "layers/mlp/gate/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.output\.dense\.weight", "layers/mlp/down/kernel", True),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.LayerNorm\.weight", "layers/ln2/scale", False),
-    (r"esm\.encoder\.layer\.(?P<i>\d+)\.LayerNorm\.bias", "layers/ln2/bias", False),
-    (r"esm\.encoder\.emb_layer_norm_after\.weight", "final_norm/scale", False),
-    (r"esm\.encoder\.emb_layer_norm_after\.bias", "final_norm/bias", False),
+# Rules for HF ESM-family checkpoints (EsmForMaskedLM / EsmModel — the NT-v2
+# architecture, reference dna_llm.py:79-83). The `esm.` prefix is optional so
+# bare EsmModel state dicts match too. Covers the full bias surface (q/k/v/o,
+# attention output, MLP denses, LayerNorms). NT-v2's remote code fuses the
+# gated MLP into one `intermediate.dense` of width 2*I (silu(x1)*x2 over the
+# chunk halves); `import_esm` splits that into gate/up after mapping.
+_P = r"(?:esm\.)?"
+ESM_RULES: List[MapRule] = [
+    (_P + r"embeddings\.word_embeddings\.weight", "embed/embedding", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.self\.query\.weight", "layers/attn/q/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.self\.query\.bias", "layers/attn/q/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.self\.key\.weight", "layers/attn/k/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.self\.key\.bias", "layers/attn/k/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.self\.value\.weight", "layers/attn/v/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.self\.value\.bias", "layers/attn/v/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.output\.dense\.weight", "layers/attn/o/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.output\.dense\.bias", "layers/attn/o/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.LayerNorm\.weight", "layers/ln1/scale", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.attention\.LayerNorm\.bias", "layers/ln1/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.intermediate\.dense\.weight", "layers/mlp/up/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.intermediate\.dense\.bias", "layers/mlp/up/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.gate\.dense\.weight", "layers/mlp/gate/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.gate\.dense\.bias", "layers/mlp/gate/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.output\.dense\.weight", "layers/mlp/down/kernel", True),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.output\.dense\.bias", "layers/mlp/down/bias", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.LayerNorm\.weight", "layers/ln2/scale", False),
+    (_P + r"encoder\.layer\.(?P<i>\d+)\.LayerNorm\.bias", "layers/ln2/bias", False),
+    (_P + r"encoder\.emb_layer_norm_after\.weight", "final_norm/scale", False),
+    (_P + r"encoder\.emb_layer_norm_after\.bias", "final_norm/bias", False),
 ]
+NT_V2_RULES = ESM_RULES  # backward-compatible alias
+
+
+def import_esm(state: Dict[str, np.ndarray], dtype=np.float32) -> Dict:
+    """HF ESM/NT-v2 state dict -> encoder param tree (models/nt_encoder.py).
+
+    Handles both MLP layouts: a fused gated `intermediate.dense` of width
+    2*intermediate (NT-v2 remote code: silu(first half) * second half) is
+    split into gate/up; separate gate.dense keys or a plain gelu MLP map
+    directly. Presence of the resulting `gate` subtree tells the caller to
+    set EncoderConfig.use_swiglu."""
+    params = import_with_map(state, ESM_RULES, dtype)
+    if "layers" not in params or "embed" not in params:
+        raise KeyError("state dict does not look like an ESM checkpoint "
+                       f"(keys: {list(state)[:5]}...)")
+    mlp = params["layers"]["mlp"]
+    inter_out = mlp["up"]["kernel"].shape[-1]      # [L, H, I or 2I]
+    down_in = mlp["down"]["kernel"].shape[1]       # [L, I, H]
+    if "gate" not in mlp and inter_out == 2 * down_in:
+        gate, up = {}, {}
+        for leaf in list(mlp["up"]):
+            gate[leaf], up[leaf] = np.split(mlp["up"][leaf], 2, axis=-1)
+        mlp["gate"], mlp["up"] = gate, up
+    elif "gate" not in mlp and inter_out != down_in:
+        raise ValueError(f"cannot infer MLP layout: intermediate width {inter_out} "
+                         f"vs down-projection input {down_in}")
+    return params
 
 
 def import_with_map(state: Dict[str, np.ndarray], rules: Iterable[MapRule],

@@ -98,3 +98,73 @@ class TestGRPOTrainer:
         out = trainer._generate_and_score(items)
         adv = np.asarray(out["batch"]["advantages"]).reshape(-1, 2)
         np.testing.assert_allclose(adv.sum(axis=1), 0.0, atol=1e-4)
+
+
+class TestShardedDataPath:
+    """GRPO batch arrays are device_put with the batch PartitionSpec
+    (VERDICT r1 item 4): sharded-vs-single-device numerics must agree."""
+
+    def test_logps_sharded_equal_single_device(self):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from bioreason_tpu.models import init_fusion
+        from bioreason_tpu.train.grpo import per_token_logps
+        from bioreason_tpu.parallel.partition import (
+            partition_rules_fusion, shardings_for_params, batch_spec, _valid_spec)
+
+        fusion = FusionConfig.tiny(text_vocab=TOK.vocab_size,
+                                   dna_pad_token_id=TOK.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(0), fusion)
+        rng = np.random.default_rng(0)
+        B, T, LD, clen = 8, 24, 16, 8
+        dna_ids = rng.integers(6, 4102, (2 * B, LD)).astype(np.int32)
+        dna_mask = np.ones((2 * B, LD), np.int32)
+        ids = rng.integers(0, 256, (B, T)).astype(np.int32)
+        ids[:, 2:2 + 2 * LD] = TOK.dna_pad_id
+        mask = np.ones((B, T), np.int32)
+
+        jit_logps = jax.jit(per_token_logps,
+                            static_argnames=("cfg", "completion_len"))
+        single = np.asarray(jit_logps(params, fusion, jnp.asarray(ids),
+                                      jnp.asarray(mask), jnp.asarray(dna_ids),
+                                      jnp.asarray(dna_mask), completion_len=clen))
+
+        mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
+        sp = shardings_for_params(params, partition_rules_fusion(), mesh)
+        p_sh = jax.device_put(params, sp)
+
+        def put(a):
+            spec = _valid_spec(batch_spec(), a.shape, mesh)
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        sharded = np.asarray(jit_logps(p_sh, fusion, put(ids), put(mask),
+                                       put(dna_ids), put(dna_mask),
+                                       completion_len=clen))
+        np.testing.assert_allclose(sharded, single, atol=2e-4, rtol=2e-4)
+
+    def test_engine_inputs_sharded(self):
+        """Engine with a mesh shards prompt inputs; generation still works and
+        matches greedy output of the meshless engine."""
+        from bioreason_tpu.generate import GenerationEngine
+        from bioreason_tpu.models import init_fusion
+
+        fusion = FusionConfig.tiny(text_vocab=TOK.vocab_size,
+                                   dna_pad_token_id=TOK.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(0), fusion)
+        rng = np.random.default_rng(1)
+        B, T = 8, 16
+        ids = rng.integers(0, 256, (B, T)).astype(np.int32)
+        mask = np.ones((B, T), np.int32)
+
+        plain = GenerationEngine(fusion, eos_token_id=TOK.eos_token_id)
+        t0, m0 = plain.generate(params, ids, mask, max_new_tokens=6, greedy=True)
+
+        mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
+        from bioreason_tpu.parallel.partition import (partition_rules_fusion,
+                                                      shardings_for_params)
+        p_sh = jax.device_put(params, shardings_for_params(
+            params, partition_rules_fusion(), mesh))
+        sh = GenerationEngine(fusion, eos_token_id=TOK.eos_token_id, mesh=mesh)
+        t1, m1 = sh.generate(p_sh, ids, mask, max_new_tokens=6, greedy=True)
+        np.testing.assert_array_equal(t0, t1)
+        np.testing.assert_array_equal(m0, m1)
