@@ -21,8 +21,55 @@ import time
 A100_BASELINE_EXAMPLES_PER_SEC = 4.0
 
 
-def main():
+def kernel_numeric_smoke():
+    """On-chip flash-vs-XLA numeric check BEFORE timing (VERDICT r1 item 8):
+    interpret-mode CPU tests don't enforce TPU block-tiling rules, so a
+    mis-tiled kernel could produce wrong-fast numbers here. Fails loudly
+    instead. Runs fwd AND bwd at a production-like shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bioreason_tpu.models.attention import xla_attention
+    from bioreason_tpu.ops.flash_attention import flash_attention
+
+    if jax.devices()[0].platform == "cpu":
+        return  # smoke is for the real chip; CPU path is covered by tests
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 512, 16, 128)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 512, 8, 128)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 512, 8, 128)), jnp.bfloat16)
+    mask = jnp.ones((2, 512), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, kv_mask=mask, causal=True)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (xla_attention(q, k, v, kv_mask=mask, causal=True)
+                .astype(jnp.float32) ** 2).sum()
+
+    out_f = jax.jit(lambda *a: flash_attention(*a, kv_mask=mask, causal=True))(q, k, v)
+    out_x = jax.jit(lambda *a: xla_attention(*a, kv_mask=mask, causal=True))(q, k, v)
+    fwd_err = float(jnp.abs(out_f.astype(jnp.float32)
+                            - out_x.astype(jnp.float32)).max())
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    bwd_err = max(float(jnp.abs(a.astype(jnp.float32)
+                                - b.astype(jnp.float32)).max())
+                  for a, b in zip(gf, gx))
+    assert fwd_err < 5e-2, f"flash fwd diverges from XLA on-chip: {fwd_err}"
+    assert bwd_err < 5e-1, f"flash bwd diverges from XLA on-chip: {bwd_err}"
+    print(f"# kernel smoke ok: fwd_err={fwd_err:.2e} bwd_err={bwd_err:.2e}")
+
+
+def main(argv=None):
+    import argparse
     import os
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--remat", default="off", choices=["off", "full", "dots"])
+    ap.add_argument("--grad_accum", type=int, default=1)
+    args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -32,6 +79,8 @@ def main():
     import numpy as np
     import optax
 
+    kernel_numeric_smoke()
+
     from bioreason_tpu.config import (DecoderConfig, EncoderConfig, FusionConfig,
                                       LoRAConfig, OptimConfig)
     from bioreason_tpu.models import init_fusion, fusion_forward
@@ -40,12 +89,16 @@ def main():
     from bioreason_tpu.train.optim import make_optimizer
 
     import dataclasses
-    B, T_TEXT, S_DNA, L_DNA = 4, 768, 8, 128
+    B, T_TEXT, L_DNA = args.batch, 768, 128
+    S_DNA = 2 * B
 
+    remat = args.remat != "off"
+    policy = "dots" if args.remat == "dots" else "full"
     cfg = FusionConfig(
         decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
-                                    remat=False),
-        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
+                                    remat=remat, remat_policy=policy),
+        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(),
+                                    remat=remat, remat_policy=policy),
         dna_pad_token_id=151938,
     )
     rng = jax.random.PRNGKey(0)
@@ -57,6 +110,8 @@ def main():
     frozen_leaves = [l.astype(jnp.bfloat16) if l.dtype == jnp.float32 and l.ndim >= 2
                      else l for l in frozen_leaves]
     tx, _ = make_optimizer(OptimConfig(total_steps=100))
+    if args.grad_accum > 1:
+        tx = optax.MultiSteps(tx, args.grad_accum)
     opt_state = tx.init(train_leaves)
 
     npr = np.random.default_rng(0)

@@ -32,6 +32,12 @@ def main(argv=None):
                    help="local HF NT-v2/ESM checkpoint dir; overrides "
                         "--encoder with the real pretrained DNA tower "
                         "(reference dna_llm.py:79-83)")
+    p.add_argument("--evo2_dir", default=None,
+                   help="local Evo2/StripedHyena-2 checkpoint dir (vortex "
+                        "naming); overrides --encoder with the Evo2 tower "
+                        "(reference dna_is_evo2, dna_llm.py:86-90); combine "
+                        "with --dna_embedding_layer for the blocks.N.mlp.l3 "
+                        "tap")
     p.add_argument("--llm_only", action="store_true",
                    help="paste DNA into text instead of encoder fusion")
     p.add_argument("--lora_r", type=int, default=32)
@@ -81,16 +87,20 @@ def main(argv=None):
         # pretrained path: real Qwen3 (+ NT-v2) towers from local HF dirs
         # (reference loads these from the hub, dna_llm.py:64-90)
         from bioreason_tpu.utils.pretrained import load_pretrained_fusion
-        if not args.hf_dna_dir and not args.llm_only:
-            p.error("--hf_llm_dir requires --hf_dna_dir (or --llm_only)")
+        if not args.hf_dna_dir and not args.evo2_dir and not args.llm_only:
+            p.error("--hf_llm_dir requires --hf_dna_dir or --evo2_dir "
+                    "(or --llm_only)")
         fusion_cfg, init_params, tok, dna_tok = load_pretrained_fusion(
             args.hf_llm_dir, args.hf_dna_dir,
             max_length_text=args.max_length_text,
-            max_length_dna=args.max_length_dna, seed=args.seed)
+            max_length_dna=args.max_length_dna, seed=args.seed,
+            evo2_dir=args.evo2_dir,
+            dna_embedding_layer=args.dna_embedding_layer)
         if dna_tok is None:
             dna_tok = KmerTokenizer()
         print(f"loaded pretrained towers: llm={args.hf_llm_dir} "
-              f"(vocab {fusion_cfg.decoder.vocab_size}), dna={args.hf_dna_dir}")
+              f"(vocab {fusion_cfg.decoder.vocab_size}), "
+              f"dna={args.evo2_dir or args.hf_dna_dir}")
     else:
         tok = ByteTextTokenizer()
         encoder_kind, enc_cfg, hyena_cfg, dna_tok = build_encoder_config(

@@ -34,6 +34,9 @@ class DecoderConfig:
     max_position_embeddings: int = 40960
     attention_impl: str = "auto"     # 'auto' | 'xla' | 'pallas'
     remat: bool = True
+    remat_policy: str = "full"       # 'full' | 'dots' (save matmul outputs,
+                                     # recompute elementwise: ~remat-off speed
+                                     # at a fraction of the activation memory)
     dtype: str = "bfloat16"          # compute dtype; params kept fp32
 
     @classmethod
@@ -75,6 +78,7 @@ class EncoderConfig:
     mask_token_id: int = 2           # <mask> id (KmerTokenizer layout)
     attention_impl: str = "auto"
     remat: bool = True
+    remat_policy: str = "full"       # 'full' | 'dots' (see DecoderConfig)
     dtype: str = "bfloat16"
 
     @property
@@ -102,15 +106,26 @@ class EncoderConfig:
 
 @dataclass(frozen=True)
 class HyenaConfig:
-    """Evo2/StripedHyena-style hybrid DNA encoder (models/evo2.py)."""
+    """Evo2/StripedHyena-2-style hybrid DNA encoder (models/evo2.py).
+
+    Non-attention layers cycle through the three SH2 hyena flavors
+    (short-explicit / medium-regularized / long-implicit); an attention
+    block replaces every `attn_every`-th layer (striped pattern). Pass
+    `layer_flavors` to pin the exact per-layer operator sequence of a real
+    checkpoint (the importer derives it from the weight keys)."""
     vocab_size: int = 512
     hidden_size: int = 1920
     intermediate_size: int = 5120
     num_layers: int = 25
     num_heads: int = 15
-    short_filter_len: int = 3
-    medium_filter_len: int = 128
+    short_filter_len: int = 3        # depthwise conv on the fused projection
+    se_filter_len: int = 7           # hyena_se explicit filter
+    medium_filter_len: int = 128     # hyena_mr explicit filter (decay-modulated)
+    li_order: int = 16               # hyena_li modal order (poles/residues)
     attn_every: int = 7              # attention block every Nth layer (striped pattern)
+    flavor_cycle: Tuple[str, ...] = ("se", "mr", "li")
+    layer_flavors: Optional[Tuple[str, ...]] = None   # explicit per-layer override
+    mlp_activation: str = "gelu"     # vortex ParallelGatedMLP default
     rope_theta: float = 10_000.0
     norm_eps: float = 1e-6
     attention_impl: str = "auto"
@@ -122,10 +137,20 @@ class HyenaConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
+    def flavor(self, layer_idx: int) -> str:
+        """Operator for layer `layer_idx`: 'attn' | 'se' | 'mr' | 'li'."""
+        if self.layer_flavors is not None:
+            return self.layer_flavors[layer_idx]
+        if (layer_idx + 1) % self.attn_every == 0:
+            return "attn"
+        n_prior_attn = layer_idx // self.attn_every
+        return self.flavor_cycle[(layer_idx - n_prior_attn) % len(self.flavor_cycle)]
+
     @classmethod
     def tiny(cls) -> "HyenaConfig":
-        return cls(hidden_size=64, intermediate_size=128, num_layers=3, num_heads=4,
-                   attn_every=2, remat=False, attention_impl="xla", dtype="float32")
+        return cls(hidden_size=64, intermediate_size=128, num_layers=4, num_heads=4,
+                   attn_every=4, li_order=4, medium_filter_len=16,
+                   remat=False, attention_impl="xla", dtype="float32")
 
     @classmethod
     def evo2_1b(cls) -> "HyenaConfig":

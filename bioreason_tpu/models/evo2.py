@@ -1,23 +1,45 @@
-"""Evo2/StripedHyena-style hybrid DNA encoder, TPU-first.
+"""Evo2/StripedHyena-2-style hybrid DNA encoder, TPU-first.
 
-Stands in for the reference's `evo2.Evo2` CUDA/FP8 encoder
-(dna_llm.py:86-90, SURVEY §2.2): a causal byte-level DNA LM mixing gated
-convolution (hyena) blocks with periodic rotary-attention blocks
-("striped" pattern, one attention layer every `attn_every` layers).
+Rebuilds the reference's `evo2.Evo2` encoder (dna_llm.py:86-90, SURVEY §2.2)
+— a causal byte-level DNA LM mixing hyena gated-convolution blocks with
+periodic rotary-attention blocks ("striped" pattern). Round 1 shipped an
+explicit-filter stand-in; this is the real StripedHyena-2 operator family:
 
-Hyena operator here (TPU-friendly explicit-filter form):
-    x1, x2, v = proj(u)            # each short-conv'd (depthwise, len 3)
-    y  = x1 * depthwise_causal_conv(x2 * v, medium_filter)   # len 128 filter
-    out = out_proj(y)
-Depthwise causal convs map onto XLA's conv lowering, keeping the op
-MXU/VPU-bound instead of FFT-bound; this trades Evo2's implicit long filters
-for explicit medium filters, which covers the ±1k-nt windows this framework
-feeds it (reference truncates DNA to ~2k tokens anyway — SURVEY §5
-long-context notes).
+Block layout (vortex/savanna ParallelGatedConvBlock semantics):
+
+    x  = pre_norm(u)                       # RMSNorm
+    z  = projections(x)                    # dense D -> 3D
+    z  = short_conv(z)                     # depthwise causal conv, len 3
+    x2, x1, v = split(z, 3)
+    g  = x1 * v
+    y  = x2 * (filter_conv(g) + D_skip * g)   # flavor-specific causal conv
+    u  = u + out_filter_dense(y)
+    u  = u + mlp.l3(act(mlp.l1(post_norm(u))) * mlp.l2(post_norm(u)))
+
+Filter flavors (cycled se/mr/li between attention layers — SURVEY §2.2
+"StripedHyena kernels"):
+
+  * se — short explicit depthwise filter (length 7);
+  * mr — medium explicit filter (length 128) modulated by a per-channel
+         exponential decay envelope;
+  * li — long IMPLICIT filter in modal form: complex poles/residues,
+         h[c,t] = Re(sum_k r_{c,k} * p_{c,k}^t), materialized to the sequence
+         length at trace time and applied with an FFT causal convolution
+         (O(T log T), fp32 FFT — the TPU replacement for Evo2's CUDA FFT
+         conv kernels).
+
+TPU notes: the se/short convs lower to XLA depthwise convolutions (VPU);
+mr/li go through one batched rfft/irfft pair per block; everything else is
+MXU matmuls in bf16.
 
 The named-layer embedding tap (`blocks.20.mlp.l3`, dna_llm.py:127-146) maps
-to `cfg.embedding_tap_layer`: hyena_forward returns that block's hidden state
-instead of the final one when set >= 0.
+to `cfg.embedding_tap_layer` / `tap_layer`; like the reference's forward
+hook on that Linear module, the tap returns the MLP down-projection OUTPUT
+(pre-residual) of that block.
+
+Weight import from vortex-style Evo2 checkpoints: utils/hf_import.import_evo2
+(byte vocab, blocks.N.{projections,filter,out_filter_dense,mlp.l1/l2/l3}
+naming, fused Wqkv split; flavors derived from which filter keys exist).
 """
 
 from __future__ import annotations
@@ -26,11 +48,16 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bioreason_tpu.config import HyenaConfig
 from bioreason_tpu.models import layers as L
 from bioreason_tpu.models.attention import attention
 
+
+# ---------------------------------------------------------------------------
+# filter primitives
+# ---------------------------------------------------------------------------
 
 def _conv_filter_init(rng, channels: int, length: int):
     # decaying random causal filter, normalized
@@ -39,15 +66,107 @@ def _conv_filter_init(rng, channels: int, length: int):
     return base * decay[None, :]
 
 
+def _depthwise_causal_conv(x: jnp.ndarray, filt: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, C], filt [C, K] -> causal depthwise TRUE convolution
+    (y[t] = sum_tau filt[tau] * x[t - tau]), same length.
+
+    conv_general_dilated computes cross-correlation, so the kernel is
+    flipped to get convolution semantics — keeping tap ordering consistent
+    with the FFT path (_fft_causal_conv) and imported checkpoint filters."""
+    k = filt.shape[-1]
+    x_padded = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        x_padded.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :],  # NCHW (H=1)
+        filt.astype(jnp.float32)[:, None, None, ::-1],                   # OIHW, I=1
+        window_strides=(1, 1), padding="VALID",
+        feature_group_count=filt.shape[0])
+    return out[:, :, 0, :].transpose(0, 2, 1).astype(x.dtype)
+
+
+def _fft_causal_conv(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, C], h [C, L] -> causal conv via FFT (fp32), same length.
+
+    FFT length covers T + L - 1 so the circular convolution never wraps into
+    the causal window."""
+    b, t, c = x.shape
+    l = h.shape[-1]
+    n = 1
+    while n < t + l:
+        n *= 2
+    xf = jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=1)          # [B, F, C]
+    hf = jnp.fft.rfft(h.astype(jnp.float32), n=n, axis=-1)         # [C, F]
+    y = jnp.fft.irfft(xf * hf.T[None], n=n, axis=1)[:, :t]
+    return y.astype(x.dtype)
+
+
+def _materialize_mr_filter(fp: Dict) -> jnp.ndarray:
+    """Medium-regularized filter: explicit taps * exponential decay envelope.
+    `decay` is either a per-channel rate [C] (envelope exp(-softplus(r)*t))
+    or a precomputed envelope [C, L] (imported checkpoints)."""
+    h = fp["h"].astype(jnp.float32)                                # [C, L]
+    decay = fp["decay"].astype(jnp.float32)
+    if decay.ndim == 1:
+        t = jnp.arange(h.shape[-1], dtype=jnp.float32)
+        env = jnp.exp(-jax.nn.softplus(decay)[:, None] * t[None, :])
+    else:
+        env = decay
+    return h * env
+
+
+def _materialize_li_filter(fp: Dict, length: int) -> jnp.ndarray:
+    """Long implicit filter in modal form: h[c,t] = Re(sum_k r_ck * p_ck^t).
+
+    poles/residues [C, K, 2] (complex stored as trailing real/imag pair).
+    Magnitudes are squashed through a sigmoid at materialization so the
+    filter is stable for any parameter value (training-safe); imported
+    checkpoints supply pre-stabilized poles via `poles_raw=False` semantics
+    (see import_evo2: it stores log-magnitude/phase the same way)."""
+    poles = fp["poles"].astype(jnp.float32)       # [C, K, 2]
+    residues = fp["residues"].astype(jnp.float32)  # [C, K, 2]
+    # stable magnitude in (0,1), free phase
+    mag = jax.nn.sigmoid(poles[..., 0])
+    phase = poles[..., 1]
+    t = jnp.arange(length, dtype=jnp.float32)
+    # p^t = mag^t * exp(i*phase*t); Re(r * p^t) with r = rr + i*ri
+    log_mag = jnp.log(mag + 1e-12)                 # [C, K]
+    mag_t = jnp.exp(log_mag[..., None] * t)        # [C, K, T]
+    ang = phase[..., None] * t                     # [C, K, T]
+    rr, ri = residues[..., 0, None], residues[..., 1, None]
+    h = mag_t * (rr * jnp.cos(ang) - ri * jnp.sin(ang))
+    return h.sum(axis=1)                           # [C, T]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
 def init_hyena(rng, cfg: HyenaConfig) -> Dict:
     keys = jax.random.split(rng, cfg.num_layers + 1)
     d = cfg.hidden_size
+
+    def init_filter(k, flavor: str) -> Dict:
+        k1, k2 = jax.random.split(k)
+        if flavor == "se":
+            return {"h": _conv_filter_init(k1, d, cfg.se_filter_len)}
+        if flavor == "mr":
+            return {"h": _conv_filter_init(k1, d, cfg.medium_filter_len),
+                    "decay": jnp.zeros((d,), jnp.float32)}
+        if flavor == "li":
+            return {"poles": jnp.stack(
+                        [jax.random.normal(k1, (d, cfg.li_order), jnp.float32),
+                         jax.random.normal(k2, (d, cfg.li_order), jnp.float32) * 0.1],
+                        axis=-1),
+                    "residues": jax.random.normal(
+                        jax.random.fold_in(k2, 1), (d, cfg.li_order, 2),
+                        jnp.float32) * (0.1 / cfg.li_order)}
+        raise ValueError(flavor)
 
     def init_block(k, layer_idx: int):
         k1, k2, k3, k4, k5, k6, k7 = jax.random.split(k, 7)
         block: Dict = {"ln1": L.rmsnorm_init(d), "ln2": L.rmsnorm_init(d),
                        "mlp": L.swiglu_init(k5, d, cfg.intermediate_size)}
-        if (layer_idx + 1) % cfg.attn_every == 0:
+        flavor = cfg.flavor(layer_idx)
+        if flavor == "attn":
             block["attn"] = {
                 "q": L.dense_init(k1, d, d), "k": L.dense_init(k2, d, d),
                 "v": L.dense_init(k3, d, d), "o": L.dense_init(k4, d, d),
@@ -56,8 +175,8 @@ def init_hyena(rng, cfg: HyenaConfig) -> Dict:
             block["hyena"] = {
                 "in_proj": L.dense_init(k1, d, 3 * d),
                 "short_filter": _conv_filter_init(k6, 3 * d, cfg.short_filter_len),
-                "medium_filter": _conv_filter_init(k7, d, cfg.medium_filter_len),
-                "filter_bias": jnp.zeros((d,), jnp.float32),
+                "filter": init_filter(k7, flavor),
+                "filter_bias": jnp.zeros((d,), jnp.float32),   # D skip
                 "out_proj": L.dense_init(k4, d, d),
             }
         return block
@@ -69,35 +188,32 @@ def init_hyena(rng, cfg: HyenaConfig) -> Dict:
     }
 
 
-def _depthwise_causal_conv(x: jnp.ndarray, filt: jnp.ndarray) -> jnp.ndarray:
-    """x [B, T, C], filt [C, K] -> causal depthwise conv, same length."""
-    k = filt.shape[-1]
-    x_padded = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
-    # conv_general_dilated with feature_group_count=C does depthwise
-    out = jax.lax.conv_general_dilated(
-        x_padded.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :],  # NCHW (H=1)
-        filt.astype(jnp.float32)[:, None, None, :],                      # OIHW, I=1
-        window_strides=(1, 1), padding="VALID",
-        feature_group_count=filt.shape[0])
-    return out[:, :, 0, :].transpose(0, 2, 1).astype(x.dtype)
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
 
-
-def _hyena_block(block: Dict, h: jnp.ndarray, cfg: HyenaConfig,
+def _hyena_mixer(block: Dict, h: jnp.ndarray, cfg: HyenaConfig, flavor: str,
                  mask: jnp.ndarray) -> jnp.ndarray:
     dtype = h.dtype
-    d = cfg.hidden_size
     x = L.rmsnorm(block["ln1"], h, cfg.norm_eps)
     x = x * mask[..., None].astype(dtype)          # zero out pads for the convs
-    u = L.dense(block["hyena"]["in_proj"], x, dtype)            # [B,T,3D]
-    u = _depthwise_causal_conv(u, block["hyena"]["short_filter"])
-    x1, x2, v = jnp.split(u, 3, axis=-1)
-    inner = _depthwise_causal_conv(x2 * v, block["hyena"]["medium_filter"])
-    inner = inner + (x2 * v) * block["hyena"]["filter_bias"].astype(dtype)
-    y = jax.nn.silu(x1) * inner
+    z = L.dense(block["hyena"]["in_proj"], x, dtype)             # [B,T,3D]
+    z = _depthwise_causal_conv(z, block["hyena"]["short_filter"])
+    x2, x1, v = jnp.split(z, 3, axis=-1)
+    g = x1 * v
+    fp = block["hyena"]["filter"]
+    if flavor == "se":
+        inner = _depthwise_causal_conv(g, fp["h"])
+    elif flavor == "mr":
+        inner = _fft_causal_conv(g, _materialize_mr_filter(fp))
+    else:  # li
+        inner = _fft_causal_conv(g, _materialize_li_filter(fp, g.shape[1]))
+    inner = inner + g * block["hyena"]["filter_bias"].astype(dtype)
+    y = x2 * inner                                  # gated conv: no activation
     return h + L.dense(block["hyena"]["out_proj"], y, dtype)
 
 
-def _attn_block(block: Dict, h: jnp.ndarray, cfg: HyenaConfig,
+def _attn_mixer(block: Dict, h: jnp.ndarray, cfg: HyenaConfig,
                 mask: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
     dtype = h.dtype
     b, t, _ = h.shape
@@ -111,11 +227,28 @@ def _attn_block(block: Dict, h: jnp.ndarray, cfg: HyenaConfig,
     return h + L.dense(block["attn"]["o"], a.reshape(b, t, -1), dtype)
 
 
+def _gated_mlp(block: Dict, h: jnp.ndarray, cfg: HyenaConfig):
+    """ParallelGatedMLP: l3(act(l1(x)) * l2(x)). Returns (residual_out,
+    mlp_out) — the tap needs the PRE-residual l3 output (evo2's forward hook
+    on blocks.N.mlp.l3 returns that module's output)."""
+    dtype = h.dtype
+    x = L.rmsnorm(block["ln2"], h, cfg.norm_eps)
+    # exact (erf) gelu: vortex ParallelGatedMLP uses F.gelu, not tanh-approx
+    act = ((lambda z: jax.nn.gelu(z, approximate=False))
+           if cfg.mlp_activation == "gelu" else jax.nn.silu)
+    g = act(L.dense(block["mlp"]["gate"], x, dtype))
+    u = L.dense(block["mlp"]["up"], x, dtype)
+    mlp_out = L.dense(block["mlp"]["down"], g * u, dtype)
+    return h + mlp_out, mlp_out
+
+
 def hyena_forward(params: Dict, cfg: HyenaConfig, input_ids: jnp.ndarray,
                   attention_mask: Optional[jnp.ndarray] = None,
                   tap_layer: Optional[int] = None) -> jnp.ndarray:
-    """Returns hidden states [B, T, H]; from `tap_layer` (or
-    cfg.embedding_tap_layer) when set >= 0, else the final norm output."""
+    """Returns hidden states [B, T, H]; the `blocks.<tap>.mlp.l3` output
+    (pre-residual MLP down-projection, matching the reference's forward-hook
+    tap semantics) when `tap_layer`/cfg.embedding_tap_layer >= 0, else the
+    final norm output."""
     dtype = jnp.dtype(cfg.dtype)
     h = L.embed(params["embed"], input_ids, dtype)
     b, t, _ = h.shape
@@ -126,16 +259,23 @@ def hyena_forward(params: Dict, cfg: HyenaConfig, input_ids: jnp.ndarray,
 
     tapped = None
     for i, block in enumerate(params["blocks"]):
-        def run(h, block=block):
-            if "attn" in block:
-                h = _attn_block(block, h, cfg, attention_mask, positions)
+        flavor = cfg.flavor(i) if "hyena" in block else "attn"
+        if "attn" in block:
+            flavor = "attn"
+
+        def run(h, block=block, flavor=flavor):
+            if flavor == "attn":
+                h = _attn_mixer(block, h, cfg, attention_mask, positions)
             else:
-                h = _hyena_block(block, h, cfg, attention_mask)
-            x = L.rmsnorm(block["ln2"], h, cfg.norm_eps)
-            return h + L.swiglu(block["mlp"], x, dtype)
-        h = jax.checkpoint(run)(h) if cfg.remat else run(h)
+                h = _hyena_mixer(block, h, cfg, flavor, attention_mask)
+            return _gated_mlp(block, h, cfg)
+
+        if cfg.remat:
+            h, mlp_out = jax.checkpoint(run)(h)
+        else:
+            h, mlp_out = run(h)
         if tap is not None and tap >= 0 and i == tap:
-            tapped = h
+            tapped = mlp_out
     if tapped is not None:
         return tapped
     return L.rmsnorm(params["final_norm"], h, cfg.norm_eps)

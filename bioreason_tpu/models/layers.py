@@ -136,6 +136,19 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
     return out.astype(x.dtype)
 
 
+def remat(fn, cfg):
+    """Per-layer rematerialization wrapper honoring cfg.remat/remat_policy:
+    'full' recomputes everything (min memory), 'dots' saves matmul outputs
+    and recomputes only elementwise ops (near remat-off speed at a fraction
+    of the activation memory — the HBM/FLOPs trade on the MXU)."""
+    if not cfg.remat:
+        return fn
+    if getattr(cfg, "remat_policy", "full") == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)
+
+
 def positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
     """Position ids robust to LEFT padding: cumsum of the mask minus one,
     clipped at zero (pads get position 0 but are masked out anyway)."""

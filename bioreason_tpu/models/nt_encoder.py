@@ -84,6 +84,6 @@ def encoder_forward(params: Dict, cfg: EncoderConfig, input_ids: jnp.ndarray,
         h = h + mlp(lp["mlp"], x, dtype)
         return h, None
 
-    body_fn = jax.checkpoint(body) if cfg.remat else body
+    body_fn = L.remat(body, cfg)
     h, _ = jax.lax.scan(body_fn, h, params["layers"])
     return L.layernorm(params["final_norm"], h, cfg.norm_eps)

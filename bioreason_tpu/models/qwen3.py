@@ -166,13 +166,13 @@ def decoder_forward(
                 h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal,
                                       lora_dropout=(key, lora_dropout_rate))
                 return h, None
-            body_fn = jax.checkpoint(body) if cfg.remat else body
+            body_fn = L.remat(body, cfg)
             h, new_cache_list = jax.lax.scan(body_fn, h, (params["layers"], layer_keys))
         else:
             def body(h, lp):
                 h, _ = _layer_forward(lp, h, cfg, positions, kv_mask, causal)
                 return h, None
-            body_fn = jax.checkpoint(body) if cfg.remat else body
+            body_fn = L.remat(body, cfg)
             h, new_cache_list = jax.lax.scan(body_fn, h, params["layers"])
     else:
         # inlined layer loop: per-layer cache buffers update in place

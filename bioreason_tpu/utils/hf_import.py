@@ -37,12 +37,15 @@ def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
                     tensors[key] = sf.get_tensor(key)
         return tensors
     bin_files = sorted(f for f in os.listdir(path)
-                       if f.endswith(".bin") and f.startswith("pytorch_model"))
+                       if (f.endswith(".bin") and f.startswith("pytorch_model"))
+                       or f.endswith(".pt"))           # evo2/vortex ship .pt
     if not bin_files:
-        raise FileNotFoundError(f"no safetensors/bin weights in {path}")
+        raise FileNotFoundError(f"no safetensors/bin/pt weights in {path}")
     import torch
     for f in bin_files:
         sd = torch.load(os.path.join(path, f), map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
         for k, v in sd.items():
             tensors[k] = v.float().numpy()
     return tensors
@@ -201,6 +204,99 @@ def import_with_map(state: Dict[str, np.ndarray], rules: Iterable[MapRule],
     if strict and unmatched:
         raise KeyError(f"unmatched HF keys: {unmatched[:10]} (+{len(unmatched) - 10})")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Evo2 / StripedHyena-2 (vortex-style checkpoint naming)
+# ---------------------------------------------------------------------------
+
+def import_evo2(state: Dict[str, np.ndarray], dtype=np.float32):
+    """Vortex/savanna-style Evo2 state dict -> (params, layer_flavors).
+
+    The reference binds to the `evo2` package (dna_llm.py:86-90), whose
+    inference stack (vortex) names weights `blocks.N.{pre_norm,projections,
+    filter,out_filter_dense,post_norm,mlp.l1/l2/l3}` with attention blocks
+    as `blocks.N.inner_mha_cls.{Wqkv,out_proj}`. Per-block operator flavor
+    is derived from which filter keys exist: poles/residues -> 'li' (long
+    implicit), a decay tensor -> 'mr', plain h -> 'se', Wqkv -> 'attn'.
+
+    Implicit-filter poles arrive as raw complex pairs (real, imag); the JAX
+    model stores (logit(|p|), phase) so the materialized magnitude is always
+    stable under training (models/evo2.py:_materialize_li_filter) — the
+    conversion here is exact for |p| in (0, 1).
+    """
+    def get(k):
+        for cand in (k, "backbone." + k):
+            if cand in state:
+                return state[cand].astype(dtype)
+        raise KeyError(k)
+
+    def has(k):
+        return k in state or ("backbone." + k) in state
+
+    def tdense(k):
+        return {"kernel": get(k).T}
+
+    params: Dict = {"embed": {"embedding": get("embedding_layer.weight")},
+                    "final_norm": {"scale": get("norm.scale")}}
+    n_layers = 0
+    while has(f"blocks.{n_layers}.pre_norm.scale"):
+        n_layers += 1
+    if n_layers == 0:
+        raise KeyError("no blocks.N.pre_norm.scale keys found")
+
+    blocks, flavors = [], []
+    for i in range(n_layers):
+        p = f"blocks.{i}"
+        block: Dict = {"ln1": {"scale": get(f"{p}.pre_norm.scale")},
+                       "ln2": {"scale": get(f"{p}.post_norm.scale")},
+                       "mlp": {"gate": tdense(f"{p}.mlp.l1.weight"),
+                               "up": tdense(f"{p}.mlp.l2.weight"),
+                               "down": tdense(f"{p}.mlp.l3.weight")}}
+        if has(f"{p}.inner_mha_cls.Wqkv.weight"):
+            wqkv = get(f"{p}.inner_mha_cls.Wqkv.weight")       # [3D, D]
+            d = wqkv.shape[1]
+            block["attn"] = {
+                "q": {"kernel": wqkv[:d].T}, "k": {"kernel": wqkv[d:2 * d].T},
+                "v": {"kernel": wqkv[2 * d:].T},
+                "o": {"kernel": get(f"{p}.inner_mha_cls.out_proj.weight").T}}
+            flavors.append("attn")
+        else:
+            filt: Dict = {}
+            if has(f"{p}.filter.poles"):
+                poles = get(f"{p}.filter.poles")
+                residues = get(f"{p}.filter.residues")
+                # accept [D,K,1,2] (vortex) or [D,K,2]
+                poles = poles.reshape(poles.shape[0], poles.shape[1], 2)
+                residues = residues.reshape(residues.shape[0], residues.shape[1], 2)
+                mag = np.sqrt(poles[..., 0] ** 2 + poles[..., 1] ** 2)
+                mag = np.clip(mag, 1e-6, 1 - 1e-6)
+                phase = np.arctan2(poles[..., 1], poles[..., 0])
+                filt = {"poles": np.stack([np.log(mag / (1 - mag)), phase], -1)
+                        .astype(dtype),
+                        "residues": residues}
+                flavors.append("li")
+            elif has(f"{p}.filter.decay"):
+                filt = {"h": get(f"{p}.filter.h"),
+                        "decay": get(f"{p}.filter.decay")}
+                flavors.append("mr")
+            else:
+                filt = {"h": get(f"{p}.filter.h")}
+                flavors.append("se")
+            short = get(f"{p}.filter.short_filter_weight")
+            block["hyena"] = {
+                "in_proj": tdense(f"{p}.projections.weight"),
+                "short_filter": short.reshape(short.shape[0], short.shape[-1]),
+                "filter": filt,
+                "filter_bias": (get(f"{p}.filter.D")
+                                if has(f"{p}.filter.D")
+                                else np.zeros(get(f"{p}.post_norm.scale").shape,
+                                              dtype)),
+                "out_proj": tdense(f"{p}.out_filter_dense.weight"),
+            }
+        blocks.append(block)
+    params["blocks"] = blocks
+    return params, tuple(flavors)
 
 
 def export_decoder_to_hf(params: Dict, cfg: DecoderConfig) -> Dict[str, np.ndarray]:

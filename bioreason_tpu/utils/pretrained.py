@@ -116,6 +116,41 @@ def load_pretrained_encoder(path: str, **overrides) -> Tuple[EncoderConfig, Dict
     return cfg, params
 
 
+def load_pretrained_evo2(path: str, embedding_tap_layer: int = -1,
+                         **overrides):
+    """Local Evo2/StripedHyena-2 checkpoint dir -> (HyenaConfig, params).
+
+    Weights use vortex naming (utils/hf_import.import_evo2 derives per-layer
+    operator flavors from the filter keys). An optional config.json supplies
+    dims; otherwise they are inferred from the weight shapes. The reference
+    loads this tower via `evo2.Evo2(dna_model_name)` (dna_llm.py:86-90) with
+    the `--dna_embedding_layer blocks.N.mlp.l3` tap."""
+    from bioreason_tpu.config import HyenaConfig
+    from bioreason_tpu.utils.hf_import import load_hf_state_dict, import_evo2
+
+    state = load_hf_state_dict(path)
+    params, flavors = import_evo2(state)
+    vocab, hidden = params["embed"]["embedding"].shape
+    inner = params["blocks"][0]["mlp"]["gate"]["kernel"].shape[1]
+    # head_dim 128 (Evo2's choice: 1920/128 = 15 heads) when it divides,
+    # else a small-dim fallback; config.json num_attention_heads overrides
+    head_dim = 128 if hidden % 128 == 0 else 8
+    kw = dict(vocab_size=vocab, hidden_size=hidden, intermediate_size=inner,
+              num_layers=len(flavors), layer_flavors=flavors,
+              num_heads=hidden // head_dim,
+              embedding_tap_layer=embedding_tap_layer)
+    cfg_path = os.path.join(path, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            c = json.load(f)
+        if "num_attention_heads" in c:
+            kw["num_heads"] = c["num_attention_heads"]
+        if "rotary_emb_base" in c:
+            kw["rope_theta"] = float(c["rotary_emb_base"])
+    kw.update(overrides)
+    return HyenaConfig(**kw), params
+
+
 def load_dna_tokenizer(path: str):
     """NT-style k-mer tokenizer from the checkpoint's vocab.txt (exact id
     parity with the downloaded NT checkpoint); default layout if absent."""
@@ -133,13 +168,17 @@ def load_pretrained_fusion(
     max_length_dna: int = 2048,
     seed: int = 0,
     dtype: str = "bfloat16",
+    evo2_dir: Optional[str] = None,
+    dna_embedding_layer: int = -1,
 ) -> Tuple[FusionConfig, Dict, object, object]:
     """Assemble the full fusion model from local HF checkpoints.
 
     Returns (fusion_cfg, params, text_tokenizer, dna_tokenizer). The
     dna_projection is fresh-initialized (reference nn.Linear, dna_llm.py:97);
     everything else carries the pretrained weights. `dna_dir=None` gives an
-    LLM-only model (no encoder params; DNA pasted as text)."""
+    LLM-only model (no encoder params; DNA pasted as text); `evo2_dir`
+    selects the Evo2 tower instead of NT (reference dna_is_evo2,
+    dna_llm.py:86-90, char tokenizer + named-layer tap)."""
     from bioreason_tpu.data.text_tokenizer import load_hf_tokenizer
 
     tok = load_hf_tokenizer(llm_dir)
@@ -154,10 +193,19 @@ def load_pretrained_fusion(
                 f"Qwen3 embedding being padded past len(tokenizer) "
                 f"(dna_llm.py:72-74 adds tokens without resizing)")
 
-    if dna_dir is None:
+    hyena_cfg = None
+    if evo2_dir is not None:
+        from bioreason_tpu.data.char_tokenizer import CharDNATokenizer
+        hyena_cfg, enc_params = load_pretrained_evo2(
+            evo2_dir, embedding_tap_layer=dna_embedding_layer, dtype=dtype)
+        enc_cfg = EncoderConfig.tiny()       # unused placeholder
+        dna_tok = CharDNATokenizer()
+        dna_hidden = hyena_cfg.hidden_size
+    elif dna_dir is None:
         enc_cfg = EncoderConfig.tiny()
         enc_params = None
         dna_tok = None
+        dna_hidden = enc_cfg.hidden_size
     else:
         enc_cfg, enc_params = load_pretrained_encoder(dna_dir, dtype=dtype)
         dna_tok = load_dna_tokenizer(dna_dir)
@@ -165,14 +213,16 @@ def load_pretrained_fusion(
             raise ValueError(f"DNA tokenizer vocab {dna_tok.vocab_size} != "
                              f"encoder vocab {enc_cfg.vocab_size}; supply the "
                              f"checkpoint's vocab.txt in {dna_dir}")
+        dna_hidden = enc_cfg.hidden_size
 
     fusion_cfg = FusionConfig(
-        decoder=dec_cfg, encoder=enc_cfg, encoder_kind="nt",
+        decoder=dec_cfg, encoder=enc_cfg,
+        encoder_kind="evo2" if evo2_dir is not None else "nt",
+        hyena=hyena_cfg,
         dna_pad_token_id=tok.dna_pad_id,
         max_length_text=max_length_text, max_length_dna=max_length_dna)
 
     k_proj = jax.random.PRNGKey(seed)
-    dna_hidden = enc_cfg.hidden_size
     params: Dict = {
         "decoder": jax.tree.map(jnp.asarray, dec_params),
         "dna_projection": {
