@@ -69,6 +69,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--remat", default="off", choices=["off", "full", "dots"])
     ap.add_argument("--grad_accum", type=int, default=1)
+    ap.add_argument("--decoder", default="qwen3-0.6b",
+                    choices=["qwen3-0.6b", "qwen3-1.7b", "qwen3-4b"])
+    ap.add_argument("--frozen", default="bfloat16", choices=["bfloat16", "int8"])
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
@@ -94,19 +97,38 @@ def main(argv=None):
 
     remat = args.remat != "off"
     policy = "dots" if args.remat == "dots" else "full"
+    presets = {"qwen3-0.6b": DecoderConfig.qwen3_0_6b,
+               "qwen3-1.7b": DecoderConfig.qwen3_1_7b,
+               "qwen3-4b": DecoderConfig.qwen3_4b}
     cfg = FusionConfig(
-        decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
+        decoder=dataclasses.replace(presets[args.decoder](vocab_size=151936),
                                     remat=remat, remat_policy=policy),
         encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(),
                                     remat=remat, remat_policy=policy),
         dna_pad_token_id=151938,
     )
     rng = jax.random.PRNGKey(0)
-    params = init_fusion(rng, cfg)
-    params = attach_lora(jax.random.fold_in(rng, 1), params, LoRAConfig(r=32, alpha=64))
+    if args.frozen == "int8":
+        # init + quantize on HOST: the 4B-class fp32 init tree (16 GB) must
+        # never touch the chip — only the int8/bf16 leaves go to HBM
+        import contextlib
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = init_fusion(rng, cfg)
+            params = attach_lora(jax.random.fold_in(rng, 1), params,
+                                 LoRAConfig(r=32, alpha=64))
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        params = quantize_frozen_int8(params)
+        params = jax.tree.map(
+            lambda l: jax.device_put(
+                np.asarray(l).astype(np.float32) if l.dtype == np.float64 else l),
+            params)
+    else:
+        params = init_fusion(rng, cfg)
+        params = attach_lora(jax.random.fold_in(rng, 1), params, LoRAConfig(r=32, alpha=64))
     partition = T.make_partition(params, T.LORA_TRAINABLE)
     train_leaves, frozen_leaves = T.split(partition, params)
-    # frozen base weights in bf16 (no fp32 master needed; halves base HBM)
+    # frozen base float leaves in bf16 (no fp32 master needed; halves base HBM)
     frozen_leaves = [l.astype(jnp.bfloat16) if l.dtype == jnp.float32 and l.ndim >= 2
                      else l for l in frozen_leaves]
     tx, _ = make_optimizer(OptimConfig(total_steps=100))
@@ -123,10 +145,12 @@ def main(argv=None):
     dna_ids = npr.integers(6, 4102, (S_DNA, L_DNA)).astype(np.int32)
     attention_mask = np.ones((B, T_TEXT), np.int32)
     labels = np.where(np.arange(T_TEXT)[None] >= T_TEXT - 128, input_ids, -100)
+    from bioreason_tpu.ops.fused_ce import gather_label_positions
+    pos, tgt, val = gather_label_positions(labels)   # head on supervised span only
     batch = {k: jnp.asarray(v) for k, v in dict(
         input_ids=input_ids, attention_mask=attention_mask,
         dna_input_ids=dna_ids, dna_attention_mask=dna_mask,
-        labels=labels).items()}
+        label_positions=pos, label_targets=tgt, label_valid=val).items()}
 
     import functools
 
@@ -136,7 +160,9 @@ def main(argv=None):
             p = T.combine(partition, train, frozen_leaves)
             _, loss = fusion_forward(p, cfg, batch["input_ids"], batch["attention_mask"],
                                      batch["dna_input_ids"], batch["dna_attention_mask"],
-                                     labels=batch["labels"])
+                                     label_positions=batch["label_positions"],
+                                     label_targets=batch["label_targets"],
+                                     label_valid=batch["label_valid"])
             return loss
         loss, grads = jax.value_and_grad(loss_fn)(train_leaves)
         updates, opt_state = tx.update(grads, opt_state, train_leaves)

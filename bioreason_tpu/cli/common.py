@@ -113,9 +113,16 @@ def apply_debug_flags(args):
 
 
 def build_mesh(spec: str):
+    """'auto' | 'd,f,m' | 'multislice[:f,m]' (pod recipe: data over DCN,
+    fsdp/model inside each slice's ICI — parallel/mesh.py)."""
     from bioreason_tpu.config import MeshConfig
-    from bioreason_tpu.parallel import make_mesh
+    from bioreason_tpu.parallel import make_mesh, make_multislice_mesh
     if spec == "auto":
         return make_mesh(MeshConfig())
+    if spec.startswith("multislice"):
+        f, m = 1, 1
+        if ":" in spec:
+            f, m = (int(x) for x in spec.split(":", 1)[1].split(","))
+        return make_multislice_mesh(MeshConfig(fsdp=f, model=m))
     d, f, m = (int(x) for x in spec.split(","))
     return make_mesh(MeshConfig(data=d, fsdp=f, model=m))

@@ -191,7 +191,16 @@ def main(argv=None):
 
     if args.test_generative and test_items:
         engine = GenerationEngine(fusion_cfg, eos_token_id=tok.eos_token_id)
-        labels = tuple(args.test_labels) if args.test_labels else ("benign", "pathogenic")
+        if args.test_labels:
+            labels = tuple(args.test_labels)
+        else:
+            # reference derivation: sorted unique answers, first = negative,
+            # second = positive (train_dna_qwen.py:422-425, :662-664)
+            uniq = sorted({ex["answer"].strip()
+                           for ex in train_items + val_items + test_items})
+            labels = tuple(uniq[:2]) if len(uniq) >= 2 else (uniq[0], uniq[0])
+            print(f"derived eval labels (reference semantics): "
+                  f"neg={labels[0]!r} pos={labels[1]!r}")
         res = evaluate_generative(
             engine, trainer.params, proc, test_items, labels=labels,
             sampling=SamplingConfig(max_new_tokens=args.max_new_tokens),

@@ -154,21 +154,30 @@ def fusion_forward(
     train_embeddings: bool = False,
     lora_dropout_rng: Optional[jnp.ndarray] = None,
     lora_dropout_rate: float = 0.0,
+    label_positions: Optional[jnp.ndarray] = None,
+    label_targets: Optional[jnp.ndarray] = None,
+    label_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused forward. Returns (logits, loss or None).
 
     With `labels`, the loss uses the vocab-chunked fused CE (ops/fused_ce.py)
     on the final hidden states — the [B,T,V] logits are never materialized —
     and `logits` is returned as None. Call without labels to get logits.
+
+    With `label_positions/targets/valid` (from fused_ce.gather_label_positions)
+    instead of `labels`, the head matmul runs ONLY on the supervised
+    positions (~T/K fewer head FLOPs at identical loss) — assistant spans
+    are a small fraction of the padded width in SFT batches.
     """
     embeds = fused_input_embeddings(params, cfg, input_ids, dna_input_ids,
                                     dna_attention_mask, train_encoder)
-    if labels is None:
+    gathered = label_positions is not None
+    if labels is None and not gathered:
         logits, _ = decoder_forward(params["decoder"], cfg.decoder,
                                     inputs_embeds=embeds, attention_mask=attention_mask)
         return logits, None
 
-    from bioreason_tpu.ops.fused_ce import decoder_lm_loss
+    from bioreason_tpu.ops.fused_ce import decoder_lm_loss, decoder_lm_loss_gathered
     hidden, _ = decoder_forward(params["decoder"], cfg.decoder,
                                 inputs_embeds=embeds, attention_mask=attention_mask,
                                 return_hidden=True,
@@ -177,9 +186,15 @@ def fusion_forward(
     dec = params["decoder"]
     head = (dec["lm_head"]["kernel"].T if "lm_head" in dec
             else dec["embed"]["embedding"])
-    loss = decoder_lm_loss(hidden.astype(jnp.bfloat16) if cfg.decoder.dtype == "bfloat16"
-                           else hidden, head, labels,
-                           need_embedding_grad=train_embeddings)
+    h = (hidden.astype(jnp.bfloat16) if cfg.decoder.dtype == "bfloat16"
+         else hidden)
+    if gathered:
+        loss = decoder_lm_loss_gathered(h, head, label_positions, label_targets,
+                                        label_valid,
+                                        need_embedding_grad=train_embeddings)
+    else:
+        loss = decoder_lm_loss(h, head, labels,
+                               need_embedding_grad=train_embeddings)
     return None, loss
 
 

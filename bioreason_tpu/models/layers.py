@@ -34,9 +34,19 @@ def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None):
 
     `lora_dropout`: optional (rng_key, rate) applying inverted dropout to the
     ADAPTER input only (PEFT lora_dropout semantics; reference uses 0.05,
-    train_dna_qwen.py LoraConfig)."""
+    train_dna_qwen.py LoraConfig).
+
+    Frozen kernels may be stored int8 (see train/quant.py): a dict
+    {"q": int8 [..,in,out], "scale": f32 [..,1,out]} is dequantized to the
+    compute dtype here — inside the layer scan, so peak HBM holds one
+    layer's bf16 copy while the resident weights stay at half bf16 size."""
     x = x.astype(dtype)
-    y = x @ params["kernel"].astype(dtype)
+    kern = params["kernel"]
+    if isinstance(kern, dict):
+        w = kern["q"].astype(dtype) * kern["scale"].astype(dtype)
+    else:
+        w = kern.astype(dtype)
+    y = x @ w
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
     if "lora_a" in params:

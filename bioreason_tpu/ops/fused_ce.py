@@ -192,3 +192,47 @@ def decoder_lm_loss(hidden, embedding, labels, ignore_index=-100,
     y = labels[:, 1:].reshape(-1)
     return fused_softmax_xent(h, embedding, y, ignore_index, chunk,
                               need_embedding_grad)
+
+
+def gather_label_positions(labels, bucket: int = 64):
+    """Host-side: compress [B,T] labels to the supervised positions only.
+
+    SFT batches supervise the assistant span — typically ~1/6 of the padded
+    width — while the LM head runs the full 151936-vocab matmul at EVERY
+    position. Returns (positions [B,K], targets [B,K], valid [B,K]) where
+    positions index the hidden state PREDICTING each target (i.e. t for
+    label t+1) and K is the max per-row count rounded up to `bucket` (stable
+    jit shapes). Feed to `decoder_lm_loss_gathered`; the loss is numerically
+    identical to `decoder_lm_loss`, at ~T/K of the head FLOPs.
+    """
+    import numpy as np
+    labels = np.asarray(labels)
+    shifted = labels[:, 1:]
+    valid_bt = shifted != -100
+    counts = valid_bt.sum(axis=1)
+    k = max(int(counts.max()), 1)
+    k = ((k + bucket - 1) // bucket) * bucket
+    b = labels.shape[0]
+    positions = np.zeros((b, k), np.int32)
+    targets = np.zeros((b, k), np.int32)
+    valid = np.zeros((b, k), np.int32)
+    for i in range(b):
+        idx = np.nonzero(valid_bt[i])[0]
+        positions[i, :len(idx)] = idx          # hidden index t predicts t+1
+        targets[i, :len(idx)] = shifted[i, idx]
+        valid[i, :len(idx)] = 1
+    return positions, targets, valid
+
+
+def decoder_lm_loss_gathered(hidden, embedding, positions, targets, valid,
+                             chunk: int = DEFAULT_CHUNK,
+                             need_embedding_grad: bool = False):
+    """Shifted causal LM loss over pre-gathered supervised positions
+    (see gather_label_positions). hidden [B,T,H]; positions/targets/valid
+    [B,K]. Same mean-over-valid semantics as decoder_lm_loss."""
+    b, t, hdim = hidden.shape
+    h = jnp.take_along_axis(hidden, positions[..., None].astype(jnp.int32),
+                            axis=1)                                 # [B,K,H]
+    y = jnp.where(valid.astype(bool), targets, -100)
+    return fused_softmax_xent(h.reshape(-1, hdim), embedding,
+                              y.reshape(-1), -100, chunk, need_embedding_grad)

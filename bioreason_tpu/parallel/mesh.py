@@ -36,3 +36,35 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
         f"mesh {data}x{fsdp}x{model} != {n} devices")
     arr = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(arr, MESH_AXES)
+
+
+def make_multislice_mesh(cfg: MeshConfig = MeshConfig(), devices=None,
+                         slice_key=None) -> Mesh:
+    """Multi-slice (pod) mesh: pure data parallelism across slices (DCN),
+    fsdp/model confined to a slice (ICI) — the standard scaling recipe:
+    only gradient all-reduces cross the slow inter-slice network, and they
+    overlap with the backward pass.
+
+    Layout: the leading 'data' axis is ordered slice-major (all of slice 0's
+    data shards, then slice 1's, ...), so GSPMD maps the inner portion of
+    the data all-reduce onto ICI and only the per-slice partials onto DCN.
+    On non-TPU backends (tests: virtual CPU devices) `process_index`/ordinal
+    grouping degrades gracefully to a single slice."""
+    devices = devices if devices is not None else jax.devices()
+    if slice_key is None:
+        slice_key = lambda d: getattr(d, "slice_index",
+                                      getattr(d, "process_index", 0))
+    by_slice = {}
+    for d in devices:
+        by_slice.setdefault(slice_key(d), []).append(d)
+    slices = [by_slice[k] for k in sorted(by_slice)]
+    per = len(slices[0])
+    assert all(len(s) == per for s in slices), "uneven slices"
+    fsdp, model = cfg.fsdp, cfg.model
+    assert per % (fsdp * model) == 0, (
+        f"{per} devices/slice not divisible by fsdp*model={fsdp * model}")
+    data_inner = per // (fsdp * model)
+    arr = np.stack([np.asarray(s).reshape(data_inner, fsdp, model)
+                    for s in slices])                     # [S, d, f, m]
+    arr = arr.reshape(len(slices) * data_inner, fsdp, model)
+    return Mesh(arr, MESH_AXES)

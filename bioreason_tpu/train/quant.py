@@ -1,0 +1,67 @@
+"""Int8 storage for frozen tower weights (QLoRA-style memory trade).
+
+The reference's bitsandbytes dependency (`prepare_model_for_kbit_training`,
+train_dna_qwen.py:166 / reason.py:387) is a no-op in practice — models load
+bf16 — but the capability it gestures at matters on a 16 GB v5e chip:
+frozen base kernels stored int8 with per-output-channel scales halve the
+resident tower memory vs bf16, which is what fits the Qwen3-4B-class
+decoder + NT-500M encoder on one chip.
+
+`quantize_frozen_int8` rewrites every eligible frozen `kernel` leaf to a
+{"q": int8 [.., in, out], "scale": f32 [.., 1, out]} subtree; the dense
+layer (models/layers.py:dense) dequantizes to the compute dtype inside the
+layer scan, so peak HBM holds one layer's bf16 copy. LoRA adapters (fp32)
+attach BEFORE quantization and train as usual — the QLoRA recipe.
+
+Quantization error: per-channel absmax symmetric int8 gives ~0.3% RMS
+weight error; fine for frozen towers under adapter fine-tuning, NOT for
+towers you intend to train (`freeze_encoder=False` + int8 raises).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_kernel_int8(w) -> Dict:
+    """[.., in, out] float kernel -> {"q": int8, "scale": f32 [.., 1, out]}
+    (symmetric per-output-channel absmax over the input axis)."""
+    w = np.asarray(w, np.float32)
+    scale = np.abs(w).max(axis=-2, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale.astype(np.float32))}
+
+
+def dequantize_kernel(node, dtype=jnp.float32):
+    return node["q"].astype(dtype) * node["scale"].astype(dtype)
+
+
+def quantize_frozen_int8(params: Dict, subtrees=("decoder", "encoder")) -> Dict:
+    """Quantize every `kernel` leaf (ndim>=2) under the given frozen
+    subtrees. Embeddings, norms, biases, LoRA adapters and the trainable
+    dna_projection stay float."""
+    def walk(node):
+        if isinstance(node, list):
+            return [walk(x) for x in node]       # evo2 blocks are a list
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "lm_head":
+                out[k] = v                       # consumed via raw einsum, not dense()
+            elif (k == "kernel" and not isinstance(v, dict)
+                    and hasattr(v, "ndim") and v.ndim >= 2):
+                out[k] = quantize_kernel_int8(v)
+            else:
+                out[k] = walk(v)
+        return out
+
+    out = dict(params)
+    for name in subtrees:
+        if name in out:
+            out[name] = walk(out[name])
+    return out

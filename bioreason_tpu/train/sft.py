@@ -33,7 +33,8 @@ from bioreason_tpu.train import trainable as T
 from bioreason_tpu.train.lora import attach_lora
 from bioreason_tpu.train.optim import make_optimizer
 
-BATCH_KEYS = ("input_ids", "attention_mask", "dna_input_ids", "dna_attention_mask", "labels")
+BATCH_KEYS = ("input_ids", "attention_mask", "dna_input_ids", "dna_attention_mask",
+              "label_positions", "label_targets", "label_valid")
 
 
 class SFTTrainer:
@@ -55,6 +56,16 @@ class SFTTrainer:
         if not cfg.freeze_encoder:
             trainable_regex = f"({trainable_regex})|(^encoder/)"
 
+        if cfg.frozen_dtype == "int8":
+            # QLoRA-style int8 storage for the frozen towers (train/quant.py):
+            # adapters stay fp32 and attach above; kernels become
+            # {q, scale} subtrees dequantized inside the layer scan
+            if cfg.lora is None or not cfg.freeze_encoder:
+                raise ValueError("frozen_dtype='int8' requires LoRA with a "
+                                 "frozen encoder (quantized weights don't train)")
+            from bioreason_tpu.train.quant import quantize_frozen_int8
+            params = quantize_frozen_int8(params)
+
         rules = partition_rules_fusion()
         params = jax.device_put(params, shardings_for_params(params, rules, self.mesh))
 
@@ -63,8 +74,11 @@ class SFTTrainer:
         if cfg.frozen_dtype:
             # frozen leaves carry no optimizer state and are cast to compute
             # dtype every step anyway — store them directly in that dtype
-            # (halves base-model HBM vs fp32 masters)
-            fd = jnp.dtype(cfg.frozen_dtype)
+            # (halves base-model HBM vs fp32 masters). In int8 mode the
+            # quantized kernels are already int8; the remaining float leaves
+            # (embedding, norms, quant scales) go to bf16.
+            fd = jnp.dtype("bfloat16" if cfg.frozen_dtype == "int8"
+                           else cfg.frozen_dtype)
             self.frozen_leaves = [
                 l.astype(fd) if (hasattr(l, "dtype") and l.dtype == jnp.float32
                                  and l.ndim >= 2) else l
@@ -95,7 +109,9 @@ class SFTTrainer:
                 params, self.fusion_cfg,
                 batch["input_ids"], batch["attention_mask"],
                 batch.get("dna_input_ids"), batch.get("dna_attention_mask"),
-                labels=batch["labels"],
+                label_positions=batch["label_positions"],
+                label_targets=batch["label_targets"],
+                label_valid=batch["label_valid"],
                 train_encoder=not self.cfg.freeze_encoder,
                 train_embeddings=self.cfg.lora is None,
                 lora_dropout_rng=rng if lora_rate > 0.0 else None,
@@ -114,19 +130,29 @@ class SFTTrainer:
             params, self.fusion_cfg,
             batch["input_ids"], batch["attention_mask"],
             batch.get("dna_input_ids"), batch.get("dna_attention_mask"),
-            labels=batch["labels"])
+            label_positions=batch["label_positions"],
+            label_targets=batch["label_targets"],
+            label_valid=batch["label_valid"])
         return loss
 
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         validate_splice(batch["input_ids"], batch.get("dna_input_ids"),
                         self.fusion_cfg.dna_pad_token_id)
+        if "label_positions" not in batch:
+            # compress labels to supervised positions host-side: the 151936-
+            # vocab head then runs on ~1/6 of the padded width at identical
+            # loss (ops/fused_ce.py:gather_label_positions)
+            from bioreason_tpu.ops.fused_ce import gather_label_positions
+            pos, tgt, val = gather_label_positions(batch["labels"])
+            batch = {**batch, "label_positions": pos, "label_targets": tgt,
+                     "label_valid": val}
         out = {}
         for k in BATCH_KEYS:
             v = batch.get(k)
             if v is None:
                 continue
             arr = np.asarray(v)
-            spec = batch_spec() if k in ("input_ids", "attention_mask", "labels") else P()
+            spec = P() if k in ("dna_input_ids", "dna_attention_mask") else batch_spec()
             spec = _valid_spec(spec, arr.shape, self.mesh)
             out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
         return out

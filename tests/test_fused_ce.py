@@ -69,3 +69,47 @@ def test_chunked_token_logps_matches_dense():
     gc = jax.grad(lambda h: (chunked_token_logps(h, emb, t, 8) * w).sum())(h)
     gd = jax.grad(lambda h: (dense(h, emb) * w).sum())(h)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-5, rtol=1e-4)
+
+
+class TestGatheredLoss:
+    def test_gathered_equals_full(self):
+        """decoder_lm_loss_gathered == decoder_lm_loss (same shifted-CE mean)
+        while running the head on supervised positions only."""
+        import jax, jax.numpy as jnp, numpy as np
+        from bioreason_tpu.ops.fused_ce import (decoder_lm_loss,
+                                                decoder_lm_loss_gathered,
+                                                gather_label_positions)
+        rng = np.random.default_rng(0)
+        B, T, H, V = 3, 40, 16, 97
+        hidden = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((V, H)), jnp.float32)
+        labels = rng.integers(0, V, (B, T)).astype(np.int32)
+        labels[:, :25] = -100
+        labels[1, 30:] = -100
+        full = decoder_lm_loss(hidden, emb, jnp.asarray(labels), chunk=32)
+        pos, tgt, val = gather_label_positions(labels, bucket=8)
+        assert pos.shape[1] <= 16
+        got = decoder_lm_loss_gathered(hidden, emb, jnp.asarray(pos),
+                                       jnp.asarray(tgt), jnp.asarray(val),
+                                       chunk=32)
+        np.testing.assert_allclose(float(got), float(full), rtol=1e-6)
+
+    def test_gathered_grads_match_full(self):
+        import jax, jax.numpy as jnp, numpy as np
+        from bioreason_tpu.ops.fused_ce import (decoder_lm_loss,
+                                                decoder_lm_loss_gathered,
+                                                gather_label_positions)
+        rng = np.random.default_rng(1)
+        B, T, H, V = 2, 24, 8, 33
+        hidden = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((V, H)), jnp.float32)
+        labels = rng.integers(0, V, (B, T)).astype(np.int32)
+        labels[:, :12] = -100
+        pos, tgt, val = gather_label_positions(labels, bucket=4)
+        g_full = jax.grad(lambda h: decoder_lm_loss(h, emb, jnp.asarray(labels),
+                                                    chunk=16))(hidden)
+        g_gath = jax.grad(lambda h: decoder_lm_loss_gathered(
+            h, emb, jnp.asarray(pos), jnp.asarray(tgt), jnp.asarray(val),
+            chunk=16))(hidden)
+        np.testing.assert_allclose(np.asarray(g_gath), np.asarray(g_full),
+                                   atol=1e-6)

@@ -147,3 +147,54 @@ class TestLoRADropout:
                                    lora_dropout_rng=jax.random.PRNGKey(5),
                                    lora_dropout_rate=0.0)
         np.testing.assert_allclose(float(l_zero), float(l_plain), rtol=1e-6)
+
+
+class TestInt8Frozen:
+    """QLoRA-style int8 frozen towers (train/quant.py)."""
+
+    def test_int8_matches_bf16_loss_and_learns(self):
+        import jax
+        import numpy as np
+        from bioreason_tpu.config import (FusionConfig, LoRAConfig, OptimConfig,
+                                          SFTConfig)
+        from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+        from bioreason_tpu.data.collate import sft_collate
+        from bioreason_tpu.data.kegg import (format_kegg_for_dna_llm,
+                                             synthetic_kegg_items)
+        from bioreason_tpu.train.sft import SFTTrainer
+
+        tok = ByteTextTokenizer()
+        proc = BioProcessor(tok, KmerTokenizer())
+        fusion = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                   dna_pad_token_id=tok.dna_pad_id)
+        items = [format_kegg_for_dna_llm(x)
+                 for x in synthetic_kegg_items(4, seq_len=32, seed=0)]
+        batch = sft_collate(items, proc, max_length_text=512, max_length_dna=64)
+
+        def make(frozen_dtype):
+            cfg = SFTConfig(batch_size=4, max_length_dna=64,
+                            optim=OptimConfig(learning_rate=1e-3, total_steps=5),
+                            lora=LoRAConfig(r=4, alpha=8, dropout=0.0),
+                            frozen_dtype=frozen_dtype, seed=7)
+            return SFTTrainer(fusion, cfg, rng=jax.random.PRNGKey(7))
+
+        t8 = make("int8")
+        # quantized kernels present as {q, scale} subtrees
+        qk = t8.params["decoder"]["layers"]["attn"]["q"]["kernel"]
+        assert isinstance(qk, dict) and qk["q"].dtype == np.int8
+        losses8 = [t8.train_step(batch)["loss"] for _ in range(5)]
+        assert all(np.isfinite(l) for l in losses8)
+        assert losses8[-1] < losses8[0]
+
+        # loss close to the bf16-frozen trainer (per-channel int8 ~ <1% err)
+        tb = make("bfloat16")
+        loss_b = tb.train_step(batch)["loss"]
+        assert abs(losses8[0] - loss_b) / abs(loss_b) < 0.05
+
+    def test_int8_requires_lora_frozen_encoder(self):
+        import pytest as _pytest
+        from bioreason_tpu.config import FusionConfig, SFTConfig
+        from bioreason_tpu.train.sft import SFTTrainer
+        fusion = FusionConfig.tiny()
+        with _pytest.raises(ValueError, match="int8"):
+            SFTTrainer(fusion, SFTConfig(frozen_dtype="int8", lora=None))
