@@ -45,7 +45,14 @@ class InferenceServer:
                  processor: BioProcessor,
                  sampling: SamplingConfig = SamplingConfig(),
                  max_batch: int = 8, batch_window_ms: float = 20.0,
-                 max_new_tokens: int = 256, greedy_default: bool = False):
+                 max_new_tokens: int = 256, greedy_default: bool = False,
+                 continuous: bool = False, slot_len: int = 2048):
+        """`continuous=True` switches from window micro-batching to the
+        vLLM-style slot scheduler (generate/continuous.py): requests join
+        the running decode at token boundaries instead of waiting for the
+        next window, and short completions free their slot immediately —
+        latency under mixed loads no longer quantizes to the longest
+        completion in a window."""
         self.params = params
         self.cfg = fusion_cfg
         self.processor = processor
@@ -54,11 +61,15 @@ class InferenceServer:
         self.batch_window_s = batch_window_ms / 1000.0
         self.max_new_tokens = max_new_tokens
         self.greedy_default = greedy_default
+        self.continuous = continuous
+        self.slot_len = slot_len
         self.engine = GenerationEngine(
             fusion_cfg, eos_token_id=processor.text_tokenizer.eos_token_id)
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        self._worker = threading.Thread(
+            target=self._continuous_loop if continuous else self._batch_loop,
+            daemon=True)
         self._rng_counter = 0
 
     # -- batching worker ------------------------------------------------
@@ -93,6 +104,61 @@ class InferenceServer:
                 for req in batch:
                     req["error"] = str(e)
                     req["event"].set()
+
+    def _continuous_loop(self):
+        from bioreason_tpu.generate.continuous import ContinuousBatcher, Request
+        cb = ContinuousBatcher(self.params, self.cfg,
+                               eos_token_id=self.processor.text_tokenizer.eos_token_id,
+                               capacity=self.max_batch, max_len=self.slot_len,
+                               sampling=self.sampling)
+        pending: List[Any] = []
+        rid = 0
+        by_rid: Dict[int, Dict[str, Any]] = {}
+
+        def to_request(req: Dict[str, Any]):
+            nonlocal rid
+            ex = format_kegg_prompt_only(req["item"])
+            rendered = render_chat(ex["prompt"], add_generation_prompt=True)
+            out = self.processor(
+                text=[rendered], batch_dna_sequences=[ex["dna_sequences"]],
+                max_length_text=self.cfg.max_length_text,
+                max_length_dna=self.cfg.max_length_dna, padding_side="left")
+            rid += 1
+            by_rid[rid] = req
+            return Request(rid, out.input_ids, out.attention_mask,
+                           out.dna_input_ids, out.dna_attention_mask,
+                           max_new_tokens=req.get("max_new_tokens")
+                           or self.max_new_tokens,
+                           greedy=req.get("greedy", self.greedy_default))
+
+        def deliver(r):
+            req = by_rid.pop(r.rid)
+            tok = self.processor.text_tokenizer
+            text = tok.decode([t for t in r.tokens], skip_special_tokens=True)
+            req["result"] = {"completion": text, "answer": extract_answer(text)}
+            req["event"].set()
+
+        while not self._stop.is_set():
+            try:
+                while True:
+                    pending.append(to_request(self._queue.get_nowait()))
+            except queue.Empty:
+                pass
+            try:
+                while pending and cb.admit(pending[0]):
+                    r = pending.pop(0)
+                    if r.done:
+                        deliver(r)
+                for r in cb.step():
+                    deliver(r)
+            except Exception as e:                       # pragma: no cover
+                for r in list(by_rid.values()):
+                    r["error"] = str(e)
+                    r["event"].set()
+                by_rid.clear()
+                pending.clear()
+            if not cb.active.any() and not pending:
+                time.sleep(0.005)
 
     def _run_batch(self, reqs: List[Dict[str, Any]]):
         import jax
@@ -198,6 +264,11 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--max_length_dna", type=int, default=2048)
     p.add_argument("--cpu_devices", type=int, default=0)
+    p.add_argument("--continuous", action="store_true",
+                   help="vLLM-style continuous batching (slot scheduler) "
+                        "instead of window micro-batching")
+    p.add_argument("--slot_len", type=int, default=2048,
+                   help="per-slot KV length (continuous mode)")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
@@ -222,7 +293,9 @@ def main(argv=None):
         params = merge_lora(load_checkpoint(args.checkpoint, like=None) or params)
 
     server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
-                             max_new_tokens=args.max_new_tokens).start()
+                             max_new_tokens=args.max_new_tokens,
+                             continuous=args.continuous,
+                             slot_len=args.slot_len).start()
     httpd = make_http_server(server, args.port)
     print(f"serving on :{args.port} (POST /generate, GET /healthz)")
     httpd.serve_forever()

@@ -71,3 +71,39 @@ class TestInferenceServer:
         finally:
             httpd.shutdown()
             srv.stop()
+
+
+class TestContinuousServer:
+    def test_continuous_mode_concurrent(self):
+        """Continuous (slot-scheduler) serving: concurrent greedy requests
+        with identical inputs produce identical completions, and the result
+        matches the micro-batching server's output."""
+        tok = ByteTextTokenizer()
+        cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                dna_pad_token_id=tok.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(0), cfg)
+        proc = BioProcessor(tok, KmerTokenizer())
+        micro = InferenceServer(params, cfg, proc,
+                                sampling=SamplingConfig(max_new_tokens=8),
+                                max_new_tokens=8, greedy_default=True).start()
+        cont = InferenceServer(params, cfg, proc,
+                               sampling=SamplingConfig(max_new_tokens=8),
+                               max_batch=2, max_new_tokens=8,
+                               greedy_default=True, continuous=True,
+                               slot_len=512).start()
+        try:
+            want = micro.generate(dict(ITEM), max_new_tokens=8)
+            results = [None] * 3
+            def call(i):
+                results[i] = cont.generate(dict(ITEM), max_new_tokens=8)
+            threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert all(r is not None for r in results)
+            assert len({r["completion"] for r in results}) == 1
+            assert results[0]["completion"] == want["completion"]
+        finally:
+            micro.stop()
+            cont.stop()
