@@ -1,0 +1,49 @@
+"""Dataset curation CLI: FASTA genome + variant table -> training JSONL.
+
+The computational equivalent of the reference's curation notebooks
+(data/*.ipynb, SURVEY §2.1 'Data curation pipeline'): the network fetches
+(KEGG/ClinVar/Ensembl APIs, Claude-generated reasoning traces) happen
+upstream; this turns locally-available genome + variant tables into the
+(question, answer, reference_sequence, variant_sequence[, reasoning]) items
+the loaders and trainers consume.
+
+Example:
+  python -m bioreason_tpu.cli.curate --fasta genome.fa --variants vars.tsv \
+      --task variant_effect_coding --flank 1000 --out train.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--fasta", required=True, help="genome/contigs FASTA")
+    p.add_argument("--variants", required=True,
+                   help="TSV: chrom, pos (1-based), ref, alt, answer"
+                        "[, gene][, reasoning]")
+    p.add_argument("--task", default="kegg",
+                   choices=["kegg", "variant_effect_coding",
+                            "variant_effect_non_snv"])
+    p.add_argument("--flank", type=int, default=1000,
+                   help="window half-width in nt (reference uses ±1000)")
+    p.add_argument("--out", required=True, help="output JSONL path")
+    p.add_argument("--skip_mismatches", action="store_true",
+                   help="drop rows whose ref allele mismatches the genome "
+                        "instead of raising")
+    args = p.parse_args(argv)
+
+    from bioreason_tpu.data.curation import (curate_items, read_fasta,
+                                             read_variant_table, write_jsonl)
+    contigs = read_fasta(args.fasta)
+    rows = read_variant_table(args.variants)
+    items = curate_items(contigs, rows, task=args.task, flank=args.flank,
+                         validate_ref=not args.skip_mismatches)
+    write_jsonl(items, args.out)
+    print(f"wrote {len(items)} items ({len(rows) - len(items)} dropped) "
+          f"to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,96 @@ def build_variant_item(chrom_sequence: str, variant: Variant, question: str,
     if metadata:
         item.update(metadata)
     return item
+
+
+# ---------------------------------------------------------------------------
+# Local end-to-end curation (the computational equivalent of the reference's
+# KEGG_Data_2/3 + Clinvar notebooks, minus the network fetches — SURVEY §2.1
+# 'Data curation pipeline'): FASTA genome + variant table -> training JSONL
+# consumable by data/loaders.py.
+# ---------------------------------------------------------------------------
+
+QUESTION_TEMPLATES = {
+    # phrasing mirrors the task framing of the curated datasets (ref/variant
+    # sequences + task question -> reasoned answer; SURVEY §0)
+    "kegg": ("Given the reference and variant DNA sequences, which biological "
+             "pathway is most likely to be disrupted by this variant{gene}?"),
+    "variant_effect_coding": (
+        "Given the reference and variant DNA sequences, is this coding "
+        "variant most likely pathogenic or benign{gene}?"),
+    "variant_effect_non_snv": (
+        "Given the reference and variant DNA sequences, is this structural "
+        "variant most likely pathogenic or benign{gene}?"),
+}
+
+
+def read_fasta(path: str) -> Dict[str, str]:
+    """Minimal FASTA reader: {contig_name: sequence} (name = first token)."""
+    contigs: Dict[str, list] = {}
+    name = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                contigs[name] = []
+            else:
+                if name is None:
+                    raise ValueError("FASTA sequence before header")
+                contigs[name].append(line)
+    return {k: "".join(v) for k, v in contigs.items()}
+
+
+def read_variant_table(path: str) -> list:
+    """TSV with header: chrom, pos (1-based), ref, alt, answer[, gene][, reasoning].
+    Comment lines (#) skipped. Returns list of row dicts."""
+    import csv
+    rows = []
+    with open(path) as f:
+        reader = csv.DictReader(
+            (l for l in f if not l.startswith("#")), delimiter="\t")
+        required = {"chrom", "pos", "ref", "alt", "answer"}
+        missing = required - set(reader.fieldnames or ())
+        if missing:
+            raise ValueError(f"variant table missing columns: {sorted(missing)}")
+        for row in reader:
+            rows.append(row)
+    return rows
+
+
+def curate_items(contigs: Dict[str, str], rows: list, task: str = "kegg",
+                 flank: int = 1000, validate_ref: bool = True) -> list:
+    """Variant rows -> canonical training items (ref/alt ±flank windows,
+    task question template, lower-cased answer). Rows whose reference allele
+    does not match the genome raise (validate_ref=False to skip instead)."""
+    template = QUESTION_TEMPLATES[task]
+    items = []
+    for row in rows:
+        chrom = row["chrom"]
+        if chrom not in contigs:
+            raise KeyError(f"contig {chrom!r} not in FASTA")
+        gene = row.get("gene") or ""
+        question = template.format(gene=f" in gene {gene}" if gene else "")
+        variant = Variant(position=int(row["pos"]) - 1,
+                          ref_allele=row["ref"].replace("-", ""),
+                          alt_allele=row["alt"].replace("-", ""))
+        try:
+            item = build_variant_item(
+                contigs[chrom], variant, question, row["answer"],
+                reasoning=row.get("reasoning", ""), flank=flank,
+                metadata={"gene": gene, "chrom": chrom, "pos": row["pos"]})
+        except ValueError:
+            if validate_ref:
+                raise
+            continue
+        items.append(item)
+    return items
+
+
+def write_jsonl(items: list, path: str) -> None:
+    import json
+    with open(path, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")

@@ -64,3 +64,57 @@ class TestCuration:
         assert item["answer"] == "pathogenic"
         assert len(item["reference_sequence"]) == 32
         assert item["reference_sequence"] != item["variant_sequence"]
+
+
+class TestCurationPipeline:
+    """End-to-end local curation: FASTA + variant TSV -> JSONL -> loaders ->
+    collate (the computational core of the reference's data notebooks)."""
+
+    def _write_inputs(self, tmp):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        seq = "".join(rng.choice(list("ACGT"), 400))
+        fasta = tmp / "genome.fa"
+        fasta.write_text(f">chr1 test contig\n{seq[:200]}\n{seq[200:]}\n")
+        tsv = tmp / "vars.tsv"
+        rows = ["chrom\tpos\tref\talt\tanswer\tgene\treasoning"]
+        for pos in (50, 150, 300):
+            ref = seq[pos - 1]
+            alt = "A" if ref != "A" else "G"
+            rows.append(f"chr1\t{pos}\t{ref}\t{alt}\tpathogenic\tBRCA1\t"
+                        f"The variant changes {ref} to {alt}.")
+        tsv.write_text("\n".join(rows) + "\n")
+        return fasta, tsv, seq
+
+    def test_curate_cli_roundtrip(self, tmp_path):
+        from bioreason_tpu.cli.curate import main as curate_main
+        from bioreason_tpu.data.loaders import load_local_dataset
+        fasta, tsv, seq = self._write_inputs(tmp_path)
+        out = tmp_path / "items.jsonl"
+        curate_main(["--fasta", str(fasta), "--variants", str(tsv),
+                     "--task", "variant_effect_coding", "--flank", "30",
+                     "--out", str(out)])
+        items = load_local_dataset(str(out))
+        assert len(items) == 3
+        it = items[0]
+        assert it["answer"] == "pathogenic"
+        assert len(it["reference_sequence"]) <= 61
+        assert it["reference_sequence"] != it["variant_sequence"]
+        # windows genuinely come from the genome
+        assert it["reference_sequence"] in seq.upper()
+        assert "pathogenic or benign" in it["question"]
+        assert "BRCA1" in it["question"]
+
+    def test_ref_allele_validation(self, tmp_path):
+        import pytest as _pytest
+        from bioreason_tpu.data.curation import (curate_items, read_fasta,
+                                                 read_variant_table)
+        fasta, tsv, _ = self._write_inputs(tmp_path)
+        contigs = read_fasta(str(fasta))
+        rows = read_variant_table(str(tsv))
+        rows[1]["ref"] = "N"                       # corrupt one row
+        with _pytest.raises(ValueError, match="reference allele mismatch"):
+            curate_items(contigs, rows, task="kegg", flank=30)
+        kept = curate_items(contigs, rows, task="kegg", flank=30,
+                            validate_ref=False)
+        assert len(kept) == 2
