@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--save_every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--guided_decoding_regex", default=None,
+                   help="constrain every rollout to match this regex "
+                        "(vllm_guided_decoding_regex, grpo_config.py:278-280; "
+                        "compiled to on-device token masks)")
     p.add_argument("--use_vllm", default=None,
                    help="accepted for reference-CLI compatibility and ignored: "
                         "rollouts always run on-TPU through the jitted engine "
@@ -119,6 +123,7 @@ def main(argv=None):
         num_iterations=args.num_iterations, beta=args.beta, epsilon=args.epsilon,
         max_completion_length=args.max_completion_length,
         max_prompt_length=args.max_prompt_length,
+        guided_decoding_regex=args.guided_decoding_regex,
         sampling=SamplingConfig(max_new_tokens=args.max_completion_length),
         optim=OptimConfig(learning_rate=args.learning_rate or 5e-6, total_steps=steps),
         lora=lora_cfg, seed=args.seed)

@@ -243,6 +243,10 @@ class GRPOConfig:
     epsilon: float = 0.2             # clip (grpo_config.py:302)
     epsilon_high: Optional[float] = None  # DAPO asymmetric clip (grpo_config.py:304-312)
     reward_weights: Optional[Tuple[float, ...]] = None
+    # regex every completion must match (vLLM guided decoding equivalent,
+    # grpo_config.py:278-280); compiled to on-device token masks
+    # (generate/guided.py). None disables.
+    guided_decoding_regex: Optional[str] = None
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
     batch_size: int = 8              # prompts*G per step (must be divisible by G)
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=5e-6))

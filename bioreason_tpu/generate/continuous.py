@@ -61,7 +61,10 @@ class ContinuousBatcher:
     def __init__(self, params, fusion_cfg: FusionConfig, eos_token_id: int,
                  capacity: int = 8, max_len: int = 2048,
                  sampling: SamplingConfig = SamplingConfig(),
-                 prompt_bucket: int = 128):
+                 prompt_bucket: int = 128, guided=None):
+        """`guided`: optional guided.GuidedSpec applied to EVERY request
+        (batcher-level, like vLLM's engine-level guided decoding params);
+        each slot tracks its own DFA state, reset on admission."""
         self.params = params
         self.cfg = fusion_cfg
         self.eos = eos_token_id
@@ -69,6 +72,11 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.sampling = sampling
         self.prompt_bucket = prompt_bucket
+        self.guided = guided
+        self.gstate = np.zeros((capacity,), np.int32)      # per-slot DFA state
+        if guided is not None:
+            self._g_next_np = np.asarray(guided.next_state)
+            self._g_acc_np = np.asarray(guided.accepting)
         dec = fusion_cfg.decoder
         dtype = jnp.dtype(dec.dtype)
         self.cache = init_cache(dec, capacity, max_len, dtype)
@@ -114,7 +122,8 @@ class ContinuousBatcher:
         return out
 
     def _step(self, params, cache, last_token, positions, cache_mask,
-              write_idx, active, greedy_row, rng):
+              write_idx, active, greedy_row, rng, gstate=None,
+              g_next=None, g_acc=None):
         """One decode step over ALL capacity rows (inactive rows masked).
         Each row writes its new KV at its OWN cache column `write_idx[row]`
         (requests sit at different depths — per-row scatter, not a uniform
@@ -125,6 +134,13 @@ class ContinuousBatcher:
                                       positions[:, None], cache, cache_mask,
                                       write_idx)
         row_logits = logits[:, 0, :]
+        if g_next is not None:
+            # regex constraint (generate/guided.py): per-slot DFA state
+            row = g_next[gstate]
+            allow = row != self.guided.dead
+            allow = allow.at[:, self.guided.eos_token_id].set(g_acc[gstate])
+            row_logits = jnp.where(allow, row_logits,
+                                   jnp.asarray(-1e9, row_logits.dtype))
         greedy_tok = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
         rng, k = jax.random.split(rng)
         sampled = sample_logits(k, row_logits, temperature=s.temperature,
@@ -161,6 +177,11 @@ class ContinuousBatcher:
                                             jnp.asarray(mask), dna, dmask)
         self.cache = self._jit_write(self.cache, kv, jnp.asarray(slot))
         # first token comes from the prefill logits
+        if self.guided is not None:
+            allow = self._g_next_np[0] != self.guided.dead
+            allow[self.guided.eos_token_id] = bool(self._g_acc_np[0])
+            last_logits = jnp.where(jnp.asarray(allow), last_logits,
+                                    jnp.asarray(-1e9, last_logits.dtype))
         self._rng, k = jax.random.split(self._rng)
         s = self.sampling
         if req.greedy:
@@ -168,6 +189,8 @@ class ContinuousBatcher:
         else:
             tok = int(sample_logits(k, last_logits, temperature=s.temperature,
                                     top_k=s.top_k, top_p=s.top_p, greedy=False)[0])
+        if self.guided is not None:
+            self.gstate[slot] = self._g_next_np[0, tok]
         req.slot = slot
         req.tokens.append(tok)
         self._by_slot[slot] = req
@@ -204,17 +227,22 @@ class ContinuousBatcher:
             if self.next_col[slot] >= self.max_len:
                 raise RuntimeError(f"slot {slot} overflow: raise max_len")
             self.cache_mask[slot, self.next_col[slot]] = 1
+        gkw = (dict(gstate=jnp.asarray(self.gstate),
+                    g_next=self.guided.next_state, g_acc=self.guided.accepting)
+               if self.guided is not None else {})
         tok, new_kv, self._rng = self._jit_step(
             self.params, self.cache, jnp.asarray(self.last_token),
             jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
             jnp.asarray(self.next_col), jnp.asarray(self.active),
-            jnp.asarray(self.greedy_row), self._rng)
+            jnp.asarray(self.greedy_row), self._rng, **gkw)
         self.cache = new_kv
         tok = np.asarray(tok)
         finished = []
         for slot in np.nonzero(self.active)[0]:
             req = self._by_slot[slot]
             t = int(tok[slot])
+            if self.guided is not None:
+                self.gstate[slot] = self._g_next_np[self.gstate[slot], t]
             req.tokens.append(t)
             self.last_token[slot] = t
             self.positions[slot] += 1

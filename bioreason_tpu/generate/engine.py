@@ -45,7 +45,7 @@ class GenerationEngine:
         self._jit_generate = jax.jit(
             self._generate,
             static_argnames=("max_new_tokens", "temperature", "top_k", "top_p",
-                             "greedy", "group_size"),
+                             "greedy", "group_size", "guided_dead", "guided_eos"),
         )
 
     def _put(self, arr, batch_dim: bool = True):
@@ -65,7 +65,9 @@ class GenerationEngine:
     def _generate(self, params, rng, input_ids, attention_mask,
                   dna_input_ids, dna_attention_mask,
                   max_new_tokens: int, temperature: float, top_k: int,
-                  top_p: float, greedy: bool, group_size: int = 1):
+                  top_p: float, greedy: bool, group_size: int = 1,
+                  g_next=None, g_acc=None, guided_dead: int = 0,
+                  guided_eos: int = 0):
         cfg = self.cfg.decoder
         b, p = input_ids.shape
         dtype = jnp.dtype(cfg.dtype)
@@ -111,14 +113,30 @@ class GenerationEngine:
 
         out_tokens = jnp.full((bg, max_new_tokens), self.pad_token_id, jnp.int32)
         done = jnp.zeros((bg,), bool)
+        guided = g_next is not None
+        gstate = jnp.zeros((bg,), jnp.int32)          # per-row DFA state
 
-        def sample(rng, logits_row):
+        def sample(rng, logits_row, gstate):
+            if guided:
+                # regex constraint (guided.py): gather this step's allowed-token
+                # row per DFA state; EOS allowed iff the state is accepting
+                row = g_next[gstate]                               # [B, V]
+                allow = row != guided_dead
+                allow = allow.at[:, guided_eos].set(g_acc[gstate])
+                logits_row = jnp.where(allow, logits_row,
+                                       jnp.asarray(-1e9, logits_row.dtype))
             return sample_logits(rng, logits_row, temperature=temperature,
                                  top_k=top_k, top_p=top_p, greedy=greedy)
 
+        def advance(gstate, tok, done_prev):
+            if not guided:
+                return gstate
+            return jnp.where(done_prev, gstate, g_next[gstate, tok])
+
         rng, k0 = jax.random.split(rng)
-        tok0 = sample(k0, last_logits)
+        tok0 = sample(k0, last_logits, gstate)
         out_tokens = out_tokens.at[:, 0].set(tok0)
+        gstate = advance(gstate, tok0, done)
         done = done | (tok0 == self.eos_token_id)
 
         def cond(state):
@@ -126,7 +144,7 @@ class GenerationEngine:
             return (step < max_new_tokens) & ~jnp.all(done)
 
         def body(state):
-            step, done, out_tokens, kv, kv_mask, rng = state
+            step, done, out_tokens, kv, kv_mask, rng, gstate = state
             cur = jax.lax.dynamic_slice(out_tokens, (0, step - 1), (bg, 1))  # [B,1]
             positions = (prompt_lens + step - 1)[:, None]
             if grouped:
@@ -146,15 +164,16 @@ class GenerationEngine:
                     positions=positions, cache=kv, cache_index=p + step - 1,
                     cache_mask=kv_mask)
             rng, k = jax.random.split(rng)
-            tok = sample(k, step_logits[:, 0, :])
+            tok = sample(k, step_logits[:, 0, :], gstate)
+            gstate = advance(gstate, tok, done)
             tok = jnp.where(done, self.pad_token_id, tok)
             out_tokens = jax.lax.dynamic_update_slice(out_tokens, tok[:, None], (0, step))
             done = done | (tok == self.eos_token_id)
-            return step + 1, done, out_tokens, kv, kv_mask, rng
+            return step + 1, done, out_tokens, kv, kv_mask, rng, gstate
 
         state = (jnp.asarray(1), done, out_tokens,
-                 dec_cache if grouped else cache, dec_mask0, rng)
-        _, done, out_tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+                 dec_cache if grouped else cache, dec_mask0, rng, gstate)
+        _, done, out_tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
 
         completion_mask = completion_mask_from_eos(out_tokens, self.eos_token_id)
         # zero out tokens after EOS (pad), matching reference postprocessing
@@ -168,19 +187,28 @@ class GenerationEngine:
                  sampling: SamplingConfig = SamplingConfig(),
                  max_new_tokens: Optional[int] = None,
                  greedy: bool = False, rng: Optional[jax.Array] = None,
-                 group_size: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+                 group_size: int = 1, guided=None) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (completion_ids [B*group_size, max_new], completion_mask).
 
         With group_size G > 1, each input row is treated as one GRPO prompt:
         it is prefilled ONCE and G completions are sampled from the shared
-        KV cache (output rows are group-contiguous)."""
+        KV cache (output rows are group-contiguous).
+
+        `guided`: optional guided.GuidedSpec — regex-constrained decoding
+        (the vLLM `vllm_guided_decoding_regex` equivalent); every completion
+        is a match (or, if max_new_tokens is hit first, a matchable prefix)
+        of the compiled pattern."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mnt = max_new_tokens if max_new_tokens is not None else sampling.max_new_tokens
+        gkw = {}
+        if guided is not None:
+            gkw = dict(g_next=guided.next_state, g_acc=guided.accepting,
+                       guided_dead=guided.dead, guided_eos=guided.eos_token_id)
         tokens, mask = self._jit_generate(
             params, rng,
             self._put(input_ids), self._put(attention_mask),
             self._put(dna_input_ids), self._put(dna_attention_mask),
             max_new_tokens=mnt, temperature=sampling.temperature,
             top_k=sampling.top_k, top_p=sampling.top_p, greedy=greedy,
-            group_size=group_size)
+            group_size=group_size, **gkw)
         return np.asarray(tokens), np.asarray(mask)

@@ -46,13 +46,19 @@ class InferenceServer:
                  sampling: SamplingConfig = SamplingConfig(),
                  max_batch: int = 8, batch_window_ms: float = 20.0,
                  max_new_tokens: int = 256, greedy_default: bool = False,
-                 continuous: bool = False, slot_len: int = 2048):
+                 continuous: bool = False, slot_len: int = 2048,
+                 guided_regex: Optional[str] = None):
         """`continuous=True` switches from window micro-batching to the
         vLLM-style slot scheduler (generate/continuous.py): requests join
         the running decode at token boundaries instead of waiting for the
         next window, and short completions free their slot immediately —
         latency under mixed loads no longer quantizes to the longest
-        completion in a window."""
+        completion in a window.
+
+        `guided_regex`: server-level constrained-decoding pattern (vLLM
+        guided decoding equivalent, generate/guided.py) applied to every
+        request; micro-batch mode additionally honors a per-request
+        "guided_regex" field (requests are grouped by pattern per batch)."""
         self.params = params
         self.cfg = fusion_cfg
         self.processor = processor
@@ -65,6 +71,8 @@ class InferenceServer:
         self.slot_len = slot_len
         self.engine = GenerationEngine(
             fusion_cfg, eos_token_id=processor.text_tokenizer.eos_token_id)
+        self.guided_regex = guided_regex
+        self._guided_cache: Dict[str, Any] = {}
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(
@@ -110,13 +118,20 @@ class InferenceServer:
         cb = ContinuousBatcher(self.params, self.cfg,
                                eos_token_id=self.processor.text_tokenizer.eos_token_id,
                                capacity=self.max_batch, max_len=self.slot_len,
-                               sampling=self.sampling)
+                               sampling=self.sampling,
+                               guided=self._spec_for(self.guided_regex))
         pending: List[Any] = []
         rid = 0
         by_rid: Dict[int, Dict[str, Any]] = {}
 
         def to_request(req: Dict[str, Any]):
             nonlocal rid
+            if (req.get("guided_regex")
+                    and req["guided_regex"] != self.guided_regex):
+                raise ValueError(
+                    "continuous mode supports a server-level --guided_regex "
+                    "only (per-slot tables are shared); use micro-batch mode "
+                    "for per-request patterns")
             ex = format_kegg_prompt_only(req["item"])
             rendered = render_chat(ex["prompt"], add_generation_prompt=True)
             out = self.processor(
@@ -139,11 +154,16 @@ class InferenceServer:
             req["event"].set()
 
         while not self._stop.is_set():
-            try:
-                while True:
-                    pending.append(to_request(self._queue.get_nowait()))
-            except queue.Empty:
-                pass
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    pending.append(to_request(req))
+                except Exception as e:       # bad request: fail it, keep serving
+                    req["error"] = str(e)
+                    req["event"].set()
             try:
                 while pending and cb.admit(pending[0]):
                     r = pending.pop(0)
@@ -160,7 +180,25 @@ class InferenceServer:
             if not cb.active.any() and not pending:
                 time.sleep(0.005)
 
+    def _spec_for(self, pattern: Optional[str]):
+        if not pattern:
+            return None
+        if pattern not in self._guided_cache:
+            from bioreason_tpu.generate.guided import guided_spec_for
+            self._guided_cache[pattern] = guided_spec_for(
+                self.processor.text_tokenizer, pattern)
+        return self._guided_cache[pattern]
+
     def _run_batch(self, reqs: List[Dict[str, Any]]):
+        # one engine call per distinct constraint pattern (usually one group)
+        by_regex: Dict[Optional[str], List[Dict[str, Any]]] = {}
+        for r in reqs:
+            by_regex.setdefault(r.get("guided_regex") or self.guided_regex,
+                                []).append(r)
+        for pattern, group in by_regex.items():
+            self._run_group(group, self._spec_for(pattern))
+
+    def _run_group(self, reqs: List[Dict[str, Any]], guided=None):
         import jax
 
         examples = [format_kegg_prompt_only(r["item"]) for r in reqs]
@@ -186,7 +224,7 @@ class InferenceServer:
             self.params, out.input_ids, out.attention_mask,
             out.dna_input_ids, out.dna_attention_mask,
             sampling=self.sampling, max_new_tokens=mnt, greedy=greedy,
-            rng=jax.random.PRNGKey(self._rng_counter))
+            rng=jax.random.PRNGKey(self._rng_counter), guided=guided)
         tok = self.processor.text_tokenizer
         for i, req in enumerate(reqs):
             text = tok.decode(ids[i][mask[i].astype(bool)], skip_special_tokens=True)
@@ -196,9 +234,11 @@ class InferenceServer:
     # -- public sync API (used by the HTTP handler and tests) ------------
 
     def generate(self, item: Dict[str, Any], max_new_tokens: Optional[int] = None,
-                 greedy: Optional[bool] = None, timeout: float = 600.0) -> Dict[str, str]:
+                 greedy: Optional[bool] = None, timeout: float = 600.0,
+                 guided_regex: Optional[str] = None) -> Dict[str, str]:
         req = {"item": item, "max_new_tokens": max_new_tokens,
                "greedy": self.greedy_default if greedy is None else greedy,
+               "guided_regex": guided_regex,
                "event": threading.Event()}
         self._queue.put(req)
         if not req["event"].wait(timeout):
@@ -242,7 +282,8 @@ def make_http_server(server: InferenceServer, port: int = 8787) -> ThreadingHTTP
                 }
                 result = server.generate(item,
                                          max_new_tokens=payload.get("max_new_tokens"),
-                                         greedy=payload.get("greedy"))
+                                         greedy=payload.get("greedy"),
+                                         guided_regex=payload.get("guided_regex"))
                 self._send(200, result)
             except Exception as e:
                 self._send(400, {"error": str(e)})
@@ -267,6 +308,10 @@ def main(argv=None):
     p.add_argument("--continuous", action="store_true",
                    help="vLLM-style continuous batching (slot scheduler) "
                         "instead of window micro-batching")
+    p.add_argument("--guided_regex", default=None,
+                   help="constrain every completion to match this regex "
+                        "(vLLM guided-decoding equivalent; per-request "
+                        "'guided_regex' also accepted in micro-batch mode)")
     p.add_argument("--slot_len", type=int, default=2048,
                    help="per-slot KV length (continuous mode)")
     args = p.parse_args(argv)
@@ -295,7 +340,8 @@ def main(argv=None):
     server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
                              max_new_tokens=args.max_new_tokens,
                              continuous=args.continuous,
-                             slot_len=args.slot_len).start()
+                             slot_len=args.slot_len,
+                             guided_regex=args.guided_regex).start()
     httpd = make_http_server(server, args.port)
     print(f"serving on :{args.port} (POST /generate, GET /healthz)")
     httpd.serve_forever()

@@ -107,3 +107,62 @@ class TestContinuousServer:
         finally:
             micro.stop()
             cont.stop()
+
+
+class TestGuidedServing:
+    PATTERN = r"<answer>(yes|no)</answer>"
+
+    def _mk(self, **kw):
+        tok = ByteTextTokenizer()
+        cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                dna_pad_token_id=tok.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(0), cfg)
+        proc = BioProcessor(tok, KmerTokenizer())
+        return InferenceServer(params, cfg, proc,
+                               sampling=SamplingConfig(max_new_tokens=32,
+                                                       temperature=1.0,
+                                                       top_k=0, top_p=1.0),
+                               max_batch=4, batch_window_ms=30.0,
+                               max_new_tokens=32, **kw).start()
+
+    def test_server_level_guided_micro_batch(self):
+        import re
+        srv = self._mk(guided_regex=self.PATTERN)
+        try:
+            out = srv.generate(dict(ITEM), max_new_tokens=32)
+            assert re.fullmatch(self.PATTERN, out["completion"]), out
+        finally:
+            srv.stop()
+
+    def test_per_request_guided_micro_batch(self):
+        import re
+        srv = self._mk()
+        try:
+            out = srv.generate(dict(ITEM), max_new_tokens=32,
+                               guided_regex=r"(yes|no)")
+            assert re.fullmatch(r"(yes|no)", out["completion"]), out
+            # unconstrained request on the same server still works
+            out2 = srv.generate(dict(ITEM), max_new_tokens=8)
+            assert "completion" in out2
+        finally:
+            srv.stop()
+
+    def test_server_level_guided_continuous(self):
+        import re
+        srv = self._mk(guided_regex=self.PATTERN, continuous=True,
+                       slot_len=512)
+        try:
+            out = srv.generate(dict(ITEM), max_new_tokens=32)
+            assert re.fullmatch(self.PATTERN, out["completion"]), out
+        finally:
+            srv.stop()
+
+    def test_per_request_regex_rejected_in_continuous(self):
+        import pytest
+        srv = self._mk(continuous=True, slot_len=512)
+        try:
+            with pytest.raises(RuntimeError, match="server-level"):
+                srv.generate(dict(ITEM), max_new_tokens=8,
+                             guided_regex=r"(yes|no)")
+        finally:
+            srv.stop()
