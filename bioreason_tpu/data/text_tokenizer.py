@@ -125,14 +125,34 @@ class ByteTextTokenizer:
         return {"input_ids": input_ids, "attention_mask": attention_mask}
 
 
-def load_hf_tokenizer(path: str):
-    """Wrap a local HF fast tokenizer (e.g. a Qwen3 download) with the DNA
-    special tokens added, mirroring reference dna_llm.py:67-74. Requires the
-    tokenizer files to exist locally; no network access is attempted."""
+DNA_SPECIAL_TOKENS = ["<|dna_start|>", "<|dna_pad|>", "<|dna_end|>"]
+
+
+def load_hf_tokenizer(path: str, prefer_native: bool = True):
+    """Load a local HF fast-tokenizer directory (e.g. a Qwen3 download) with
+    the DNA special tokens added, mirroring reference dna_llm.py:67-74.
+
+    Tries the self-contained byte-level BPE loader first (data/bpe.py — no
+    transformers/tokenizers dependency); falls back to the transformers
+    adapter only for tokenizer.json features the native loader does not
+    support. No network access is attempted either way."""
+    if prefer_native:
+        from bioreason_tpu.data.bpe import BPETokenizer, UnsupportedTokenizerError
+        try:
+            tok = BPETokenizer.from_dir(path)
+        except UnsupportedTokenizerError:
+            tok = None
+        if tok is not None:
+            tok.add_special_tokens(DNA_SPECIAL_TOKENS)
+            tok.dna_start_id = tok.convert_tokens_to_ids("<|dna_start|>")
+            tok.dna_pad_id = tok.convert_tokens_to_ids("<|dna_pad|>")
+            tok.dna_end_id = tok.convert_tokens_to_ids("<|dna_end|>")
+            return tok
+
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(path, trust_remote_code=False, local_files_only=True)
-    tok.add_special_tokens({"additional_special_tokens": ["<|dna_start|>", "<|dna_pad|>", "<|dna_end|>"]})
+    tok.add_special_tokens({"additional_special_tokens": DNA_SPECIAL_TOKENS})
     if tok.pad_token is None:
         tok.pad_token = tok.eos_token
     return HFTokenizerAdapter(tok)
