@@ -67,8 +67,9 @@ def main(argv=None):
     logger = MetricsLogger(args.log_dir, use_wandb=args.wandb, config=vars(args))
 
     step = 0
-    for batch in batch_iterator(train_items, collate, args.batch_size,
-                                seed=args.seed, epochs=args.num_epochs):
+    from bioreason_tpu.train.dataflow import prefetch
+    for batch in prefetch(batch_iterator(train_items, collate, args.batch_size,
+                                         seed=args.seed, epochs=args.num_epochs)):
         m = trainer.train_step(batch)
         logger.log({f"train/{k}": v for k, v in m.items()}, step=step)
         step += 1

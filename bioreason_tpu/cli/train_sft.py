@@ -145,8 +145,9 @@ def main(argv=None):
 
     step = 0
     prof = contextlib.nullcontext()
-    for batch in batch_iterator(train_items, collate, args.batch_size,
-                                seed=args.seed, epochs=args.num_epochs):
+    from bioreason_tpu.train.dataflow import prefetch
+    for batch in prefetch(batch_iterator(train_items, collate, args.batch_size,
+                                         seed=args.seed, epochs=args.num_epochs)):
         if args.profile_dir and step == 2:
             prof = profiler_trace(args.profile_dir)
             prof.__enter__()

@@ -32,6 +32,38 @@ def batch_iterator(items: Sequence[Any], collate_fn: Callable[[List[Any]], Dict]
         epoch += 1
 
 
+def prefetch(it: Iterator[Any], depth: int = 2) -> Iterator[Any]:
+    """Run `it` (e.g. a collating batch_iterator) in a background thread with
+    a bounded buffer, so host-side tokenization/collation overlaps the
+    device step instead of serializing with it (the torch-DataLoader
+    `num_workers` role; reference train_dna_qwen.py:497 uses num_workers=4,
+    pin_memory). Exceptions re-raise at the consuming site."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errs: List[BaseException] = []
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:          # propagate to consumer
+            errs.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is sentinel:
+            if errs:
+                raise errs[0]
+            return
+        yield x
+
+
 def repeat_random_indices(n_items: int, batch_prompts: int, num_generations: int,
                           seed: int, epoch: int) -> Iterator[List[int]]:
     """Yield per-step index lists where each prompt index appears

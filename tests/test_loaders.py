@@ -118,3 +118,44 @@ class TestCurationPipeline:
         kept = curate_items(contigs, rows, task="kegg", flank=30,
                             validate_ref=False)
         assert len(kept) == 2
+
+
+class TestPrefetch:
+    def test_same_sequence(self):
+        from bioreason_tpu.train.dataflow import batch_iterator, prefetch
+        items = list(range(23))
+        collate = lambda xs: sum(xs)
+        plain = list(batch_iterator(items, collate, 4, seed=1, epochs=2))
+        fetched = list(prefetch(batch_iterator(items, collate, 4, seed=1,
+                                               epochs=2)))
+        assert fetched == plain
+
+    def test_exception_propagates(self):
+        import pytest
+        from bioreason_tpu.train.dataflow import prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(gen())
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
+    def test_overlaps_consumer(self):
+        # producer keeps filling the buffer while the consumer holds an item
+        import time
+        from bioreason_tpu.train.dataflow import prefetch
+        produced = []
+
+        def gen():
+            for i in range(4):
+                produced.append(i)
+                yield i
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 0
+        time.sleep(0.2)           # producer should have buffered ahead
+        assert len(produced) >= 3
+        assert list(it) == [1, 2, 3]
