@@ -10,8 +10,15 @@ import json
 import time
 
 
-def main():
+def main(argv=None):
+    import argparse
     import os
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frozen", default="bfloat16", choices=["bfloat16", "int8"],
+                    help="int8: serve quantized base weights (QLoRA-style "
+                         "storage; decode is weights-bandwidth-bound, so "
+                         "halving resident bytes speeds the token loop)")
+    args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
     import jax
@@ -33,6 +40,9 @@ def main():
         dna_pad_token_id=151938,
     )
     params = init_fusion(jax.random.PRNGKey(0), cfg)
+    if args.frozen == "int8":
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        params = quantize_frozen_int8(params)
     engine = GenerationEngine(cfg, eos_token_id=-1)  # no eos: decode all NEW tokens
 
     npr = np.random.default_rng(0)

@@ -40,6 +40,11 @@ def main(argv=None):
                         "tap")
     p.add_argument("--llm_only", action="store_true",
                    help="paste DNA into text instead of encoder fusion")
+    p.add_argument("--sp_dna", action="store_true",
+                   help="sequence-parallel DNA encoder: shard the DNA token "
+                        "axis over the mesh 'model' axis (parallel/sp.py) so "
+                        "long contexts scale past one device's memory; "
+                        "max_length_dna must divide by the model-axis size")
     p.add_argument("--lora_r", type=int, default=32)
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--no_lora", action="store_true", help="full finetune")
@@ -110,6 +115,11 @@ def main(argv=None):
             encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
             dna_pad_token_id=tok.dna_pad_id,
             max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+    if args.sp_dna:
+        import dataclasses
+        fusion_cfg = dataclasses.replace(
+            fusion_cfg, encoder=dataclasses.replace(
+                fusion_cfg.encoder, attention_impl="sp"))
     proc = BioProcessor(tok, dna_tok)
     train_items, val_items, test_items = load_items(
         args.dataset_type, args.data_dir, args.n_synthetic,

@@ -55,7 +55,15 @@ def xla_attention(q, k, v, kv_mask=None, causal=False, q_offset=None,
 
 
 def attention(q, k, v, kv_mask=None, causal=False, q_offset=None, impl="auto"):
-    """Multi-head (grouped-query) attention. Shapes as in `xla_attention`."""
+    """Multi-head (grouped-query) attention. Shapes as in `xla_attention`.
+
+    impl='sp' / 'sp_pallas': sequence-parallel attention for long-DNA
+    encoders — the sequence axis stays sharded over the mesh axis registered
+    via parallel.sp.enable_sequence_sharding (parallel/sp.py)."""
+    if impl in ("sp", "sp_pallas"):
+        from bioreason_tpu.parallel.sp import sp_attention
+        return sp_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                            impl="pallas" if impl == "sp_pallas" else "xla")
     if impl == "auto":
         use_pallas = (
             _on_tpu()

@@ -308,6 +308,11 @@ def main(argv=None):
     p.add_argument("--continuous", action="store_true",
                    help="vLLM-style continuous batching (slot scheduler) "
                         "instead of window micro-batching")
+    p.add_argument("--int8", action="store_true",
+                   help="serve int8-quantized base weights (QLoRA-style "
+                        "per-channel storage, train/quant.py): decode is "
+                        "weights-bandwidth-bound, so halving resident bytes "
+                        "raises token throughput and frees HBM for slots")
     p.add_argument("--guided_regex", default=None,
                    help="constrain every completion to match this regex "
                         "(vLLM guided-decoding equivalent; per-request "
@@ -336,6 +341,9 @@ def main(argv=None):
         from bioreason_tpu.train.checkpoint import load_checkpoint
         from bioreason_tpu.train.lora import merge_lora
         params = merge_lora(load_checkpoint(args.checkpoint, like=None) or params)
+    if args.int8:
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        params = quantize_frozen_int8(params)
 
     server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
                              max_new_tokens=args.max_new_tokens,

@@ -46,6 +46,12 @@ class SFTTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
 
+        if str(fusion_cfg.encoder.attention_impl).startswith("sp"):
+            # long-DNA sequence parallelism (parallel/sp.py): register the
+            # mesh so encoder attention can shard_map over the model axis
+            from bioreason_tpu.parallel.sp import enable_sequence_sharding
+            enable_sequence_sharding(self.mesh)
+
         if params is None:
             params = init_fusion(rng, fusion_cfg)
         if cfg.lora is not None:
@@ -146,13 +152,20 @@ class SFTTrainer:
             pos, tgt, val = gather_label_positions(batch["labels"])
             batch = {**batch, "label_positions": pos, "label_targets": tgt,
                      "label_valid": val}
+        from bioreason_tpu.parallel.sp import sequence_sharding_enabled, sequence_spec
         out = {}
         for k in BATCH_KEYS:
             v = batch.get(k)
             if v is None:
                 continue
             arr = np.asarray(v)
-            spec = P() if k in ("dna_input_ids", "dna_attention_mask") else batch_spec()
+            if k in ("dna_input_ids", "dna_attention_mask"):
+                # under sequence parallelism the DNA token axis is sharded
+                # so encoder activations scale as S/n per device
+                spec = (sequence_spec() if sequence_sharding_enabled()
+                        and arr.ndim == 2 else P())
+            else:
+                spec = batch_spec()
             spec = _valid_spec(spec, arr.shape, self.mesh)
             out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
         return out

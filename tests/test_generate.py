@@ -161,3 +161,21 @@ class TestShardedGeneration:
         toks, _ = ENGINE.generate(sharded, ids, mask, greedy=True, max_new_tokens=4)
         ref, _ = ENGINE.generate(PARAMS, ids, mask, greedy=True, max_new_tokens=4)
         np.testing.assert_array_equal(toks, ref)
+
+
+class TestInt8Serving:
+    def test_greedy_int8_matches_oracle(self):
+        """Quantized base weights flow through the whole engine (prefill +
+        decode loop): greedy output equals the no-cache oracle running the
+        SAME int8 params (dense() dequantizes in both paths)."""
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        qparams = quantize_frozen_int8(PARAMS)
+        ids = np.array([[3, 5, 9, 11], [1, 2, 3, 4]], np.int32)
+        mask = np.ones_like(ids)
+        toks, _ = ENGINE.generate(qparams, ids, mask, greedy=True,
+                                  max_new_tokens=5)
+        oracle = _greedy_oracle(qparams, CFG, ids, mask, 5)
+        for b in range(2):
+            row = toks[b]
+            n = np.argmax(row == EOS) + 1 if (row == EOS).any() else len(row)
+            np.testing.assert_array_equal(row[:n], oracle[b, :n])
