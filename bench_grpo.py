@@ -11,8 +11,13 @@ import json
 import time
 
 
-def main():
+def main(argv=None):
+    import argparse
     import os
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rollout_int8", action="store_true",
+                    help="quantize rollout weights + KV cache to int8")
+    args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
     import jax
@@ -36,6 +41,7 @@ def main():
         max_length_text=512, max_length_dna=128)
     cfg = GRPOConfig(
         num_generations=G, batch_size=PROMPTS * G, beta=0.04,
+        rollout_int8=args.rollout_int8,
         max_completion_length=NEW,
         sampling=SamplingConfig(max_new_tokens=NEW),
         optim=OptimConfig(learning_rate=5e-6, total_steps=100),

@@ -18,6 +18,11 @@ def main(argv=None):
                     help="int8: serve quantized base weights (QLoRA-style "
                          "storage; decode is weights-bandwidth-bound, so "
                          "halving resident bytes speeds the token loop)")
+    ap.add_argument("--prompts", type=int, default=16)
+    ap.add_argument("--g", type=int, default=8, help="completions per prompt")
+    ap.add_argument("--kv", default="bfloat16", choices=["bfloat16", "int8"],
+                    help="KV-cache storage (int8: memory lever — 2x slots; "
+                         "~5% slower at weights-dominated shapes)")
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
@@ -31,7 +36,7 @@ def main(argv=None):
     from bioreason_tpu.generate.engine import GenerationEngine
     from bioreason_tpu.models import init_fusion
 
-    N_PROMPTS, G, P_TEXT, S_DNA, L_DNA, NEW = 16, 8, 256, 32, 128, 128
+    N_PROMPTS, G, P_TEXT, S_DNA, L_DNA, NEW = args.prompts, args.g, 256, 2 * args.prompts, 128, 128
 
     cfg = FusionConfig(
         decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
@@ -41,9 +46,12 @@ def main(argv=None):
     )
     params = init_fusion(jax.random.PRNGKey(0), cfg)
     if args.frozen == "int8":
+        # serving configuration: kernels AND embedding/logits head int8 —
+        # every weight byte the decode loop streams is int8
         from bioreason_tpu.train.quant import quantize_frozen_int8
-        params = quantize_frozen_int8(params)
-    engine = GenerationEngine(cfg, eos_token_id=-1)  # no eos: decode all NEW tokens
+        params = quantize_frozen_int8(params, include_embed=True)
+    engine = GenerationEngine(cfg, eos_token_id=-1,    # no eos: decode all NEW
+                              kv_int8=(args.kv == "int8"))
 
     npr = np.random.default_rng(0)
     input_ids = npr.integers(0, 150000, (N_PROMPTS, P_TEXT)).astype(np.int32)

@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--save_every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--rollout_int8", action="store_true",
+                   help="roll out with int8 base weights (+~30% decode "
+                        "throughput; quantization noise makes sampling "
+                        "slightly off-policy, like TRL's vLLM rollouts)")
     p.add_argument("--guided_decoding_regex", default=None,
                    help="constrain every rollout to match this regex "
                         "(vllm_guided_decoding_regex, grpo_config.py:278-280; "
@@ -124,6 +128,7 @@ def main(argv=None):
         max_completion_length=args.max_completion_length,
         max_prompt_length=args.max_prompt_length,
         guided_decoding_regex=args.guided_decoding_regex,
+        rollout_int8=args.rollout_int8,
         sampling=SamplingConfig(max_new_tokens=args.max_completion_length),
         optim=OptimConfig(learning_rate=args.learning_rate or 5e-6, total_steps=steps),
         lora=lora_cfg, seed=args.seed)

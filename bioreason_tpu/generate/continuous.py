@@ -61,10 +61,13 @@ class ContinuousBatcher:
     def __init__(self, params, fusion_cfg: FusionConfig, eos_token_id: int,
                  capacity: int = 8, max_len: int = 2048,
                  sampling: SamplingConfig = SamplingConfig(),
-                 prompt_bucket: int = 128, guided=None):
+                 prompt_bucket: int = 128, guided=None, kv_int8: bool = False):
         """`guided`: optional guided.GuidedSpec applied to EVERY request
         (batcher-level, like vLLM's engine-level guided decoding params);
-        each slot tracks its own DFA state, reset on admission."""
+        each slot tracks its own DFA state, reset on admission.
+
+        `kv_int8`: int8 slot-pool KV storage with per-(token,head) scales —
+        halves pool HBM (2x the slots at fixed memory) and cache bandwidth."""
         self.params = params
         self.cfg = fusion_cfg
         self.eos = eos_token_id
@@ -79,7 +82,8 @@ class ContinuousBatcher:
             self._g_acc_np = np.asarray(guided.accepting)
         dec = fusion_cfg.decoder
         dtype = jnp.dtype(dec.dtype)
-        self.cache = init_cache(dec, capacity, max_len, dtype)
+        self.kv_int8 = kv_int8
+        self.cache = init_cache(dec, capacity, max_len, dtype, quantize=kv_int8)
         # host-visible slot state (mirrored into device masks each step)
         self.cache_mask = np.zeros((capacity, max_len), np.int32)
         self.positions = np.zeros((capacity,), np.int32)   # next ROPE position
@@ -111,14 +115,28 @@ class ContinuousBatcher:
         return cache, logits[:, -1, :]
 
     def _write_slot(self, cache, slot_kv, slot: jnp.ndarray):
-        """Copy a prefilled [1,P] KV into row `slot` of the pool at offset 0."""
+        """Copy a prefilled [1,P] KV into row `slot` of the pool at offset 0
+        (quantizing on the way in when the pool is int8)."""
+        from bioreason_tpu.models.qwen3 import _kv_quantize
         out = []
         for pool, kv in zip(cache, slot_kv):
-            k = jax.lax.dynamic_update_slice(
-                pool["k"], kv["k"].astype(pool["k"].dtype), (slot, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                pool["v"], kv["v"].astype(pool["v"].dtype), (slot, 0, 0, 0))
-            out.append({"k": k, "v": v})
+            dus = jax.lax.dynamic_update_slice
+            if self.kv_int8:
+                qk, sk = _kv_quantize(kv["k"])
+                qv, sv = _kv_quantize(kv["v"])
+                out.append({
+                    "k": dus(pool["k"], qk, (slot, 0, 0, 0)),
+                    "v": dus(pool["v"], qv, (slot, 0, 0, 0)),
+                    "k_scale": dus(pool["k_scale"],
+                                   sk.astype(pool["k_scale"].dtype), (slot, 0, 0, 0)),
+                    "v_scale": dus(pool["v_scale"],
+                                   sv.astype(pool["v_scale"].dtype), (slot, 0, 0, 0)),
+                })
+            else:
+                out.append({
+                    "k": dus(pool["k"], kv["k"].astype(pool["k"].dtype), (slot, 0, 0, 0)),
+                    "v": dus(pool["v"], kv["v"].astype(pool["v"].dtype), (slot, 0, 0, 0)),
+                })
         return out
 
     def _step(self, params, cache, last_token, positions, cache_mask,
@@ -286,26 +304,33 @@ def _decode_rows(dec_params, cfg, token_ids, positions, cache, cache_mask,
         q = L.apply_rope(q, positions, cfg.rope_theta)
         k = L.apply_rope(k, positions, cfg.rope_theta)
 
-        ck, cv = cache[i]["k"], cache[i]["v"]
         rows = jnp.arange(b)
-        ck = ck.at[rows, write_idx].set(k[:, 0].astype(ck.dtype))
-        cv = cv.at[rows, write_idx].set(v[:, 0].astype(cv.dtype))
-        new_cache.append({"k": ck, "v": cv})
+        entry = cache[i]
+        if "k_scale" in entry:
+            from bioreason_tpu.models.qwen3 import _kv_quantize
+            qk, sk = _kv_quantize(k[:, 0])
+            qv, sv = _kv_quantize(v[:, 0])
+            entry = {
+                "k": entry["k"].at[rows, write_idx].set(qk),
+                "v": entry["v"].at[rows, write_idx].set(qv),
+                "k_scale": entry["k_scale"].at[rows, write_idx].set(
+                    sk.astype(entry["k_scale"].dtype)),
+                "v_scale": entry["v_scale"].at[rows, write_idx].set(
+                    sv.astype(entry["v_scale"].dtype)),
+            }
+        else:
+            entry = {"k": entry["k"].at[rows, write_idx].set(k[:, 0].astype(entry["k"].dtype)),
+                     "v": entry["v"].at[rows, write_idx].set(v[:, 0].astype(entry["v"].dtype))}
+        new_cache.append(entry)
 
         from bioreason_tpu.models.attention import xla_attention
-        a = xla_attention(q, ck.astype(dtype), cv.astype(dtype),
-                          kv_mask=cache_mask, causal=False)
+        a = xla_attention(q, entry["k"], entry["v"], kv_mask=cache_mask,
+                          causal=False, k_scale=entry.get("k_scale"),
+                          v_scale=entry.get("v_scale"))
         h = h + L.dense(lp["attn"]["o"], a.reshape(b, t, -1), dtype)
         x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
         h = h + L.swiglu(lp["mlp"], x, dtype)
 
     h = L.rmsnorm(dec_params["final_norm"], h, cfg.rms_norm_eps)
-    if "lm_head" in dec_params:
-        logits = jnp.einsum("bth,hv->btv", h,
-                            dec_params["lm_head"]["kernel"].astype(h.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("bth,vh->btv", h,
-                            dec_params["embed"]["embedding"].astype(h.dtype),
-                            preferred_element_type=jnp.float32)
+    logits = L.lm_logits(dec_params, h)
     return logits, new_cache

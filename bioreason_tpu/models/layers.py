@@ -66,7 +66,38 @@ def embed_init(rng, vocab: int, dim: int, std: float = 0.02):
 
 
 def embed(params, ids, dtype=jnp.bfloat16):
-    return jnp.take(params["embedding"].astype(dtype), ids, axis=0)
+    e = params["embedding"]
+    if isinstance(e, dict):
+        # int8 embedding (train/quant.py, per-vocab-row scales): gather int8
+        # rows, then rescale — reads 1/2 the bytes of bf16
+        rows = jnp.take(e["q"], ids, axis=0).astype(dtype)
+        scale = jnp.take(e["scale"], ids, axis=0).astype(dtype)     # [..., 1]
+        return rows * scale
+    return jnp.take(e.astype(dtype), ids, axis=0)
+
+
+def lm_logits(dec_params, h):
+    """Vocabulary logits from final hidden states [B, T, H] -> [B, T, V] f32.
+
+    Handles the tied-embedding and separate-lm_head layouts, each in float
+    or int8 ({"q", "scale"}) storage; for int8 the scale is applied to the
+    f32 logits AFTER the matmul (per-vocab-channel), so the int8 weights
+    stream straight into the MXU operand conversion."""
+    if "lm_head" in dec_params:
+        kern = dec_params["lm_head"]["kernel"]
+        if isinstance(kern, dict):
+            logits = jnp.einsum("bth,hv->btv", h, kern["q"].astype(h.dtype),
+                                preferred_element_type=jnp.float32)
+            return logits * kern["scale"].reshape(-1).astype(jnp.float32)
+        return jnp.einsum("bth,hv->btv", h, kern.astype(h.dtype),
+                          preferred_element_type=jnp.float32)
+    e = dec_params["embed"]["embedding"]
+    if isinstance(e, dict):
+        logits = jnp.einsum("bth,vh->btv", h, e["q"].astype(h.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits * e["scale"].reshape(-1).astype(jnp.float32)
+    return jnp.einsum("bth,vh->btv", h, e.astype(h.dtype),
+                      preferred_element_type=jnp.float32)
 
 
 def rmsnorm_init(dim: int):

@@ -61,20 +61,71 @@ def init_decoder(rng, cfg: DecoderConfig) -> Dict:
     return params
 
 
-def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               quantize: bool = False):
     """Per-layer KV cache: a LIST of {k,v} [B,S,Hkv,D] arrays.
 
     Deliberately NOT a stacked [L,...] array: stacked caches threaded through
     lax.scan get sliced/updated/restacked every decode step (~2.5 ms/layer of
     pure copy traffic measured on v5e); separate per-layer buffers updated in
-    an inlined layer loop let XLA do the dynamic_update_slice in place."""
+    an inlined layer loop let XLA do the dynamic_update_slice in place.
+
+    `quantize=True` stores K/V int8 with per-(token,head) absmax scales
+    (the vLLM fp8-KV-cache role, in the dtype v5e has): decode attention is
+    cache-bandwidth-bound at large batch, so halving cache bytes buys
+    throughput at ~0.4% K/V RMS error."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if quantize:
+        sshape = shape[:-1] + (1,)
+        return [{"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                 "k_scale": jnp.zeros(sshape, jnp.float32),
+                 "v_scale": jnp.zeros(sshape, jnp.float32)}
+                for _ in range(cfg.num_layers)]
     return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(cfg.num_layers)]
 
 
+def _kv_quantize(x):
+    """[..., D] float -> (int8 [..., D], f32 scale [..., 1]) per-row absmax."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.rint(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def cache_entry_update(entry, k, v, index):
+    """Write new K/V [B,T,Hkv,D] at `index` into a cache entry (quantizing
+    when the entry carries scales). Returns the updated entry dict."""
+    dus = jax.lax.dynamic_update_slice
+    at = (0, index, 0, 0)
+    if "k_scale" in entry:
+        qk, sk = _kv_quantize(k)
+        qv, sv = _kv_quantize(v)
+        return {"k": dus(entry["k"], qk, at), "v": dus(entry["v"], qv, at),
+                "k_scale": dus(entry["k_scale"], sk.astype(entry["k_scale"].dtype), at),
+                "v_scale": dus(entry["v_scale"], sv.astype(entry["v_scale"].dtype), at)}
+    return {"k": dus(entry["k"], k.astype(entry["k"].dtype), at),
+            "v": dus(entry["v"], v.astype(entry["v"].dtype), at)}
+
+
+def cache_entry_read(entry, dtype):
+    """Full K/V [B,S,Hkv,D] in compute dtype, dequantizing int8 entries.
+
+    NOTE: hot paths do NOT use this — materializing the dequantized copy
+    costs write+read bandwidth (measured 1.4x slower than bf16 caches).
+    They pass the int8 buffers plus scales to the attention kernels, which
+    apply the scales to logits/probs instead (xla_attention k_scale/v_scale).
+    Kept for debugging/tests."""
+    k = entry["k"].astype(dtype)
+    v = entry["v"].astype(dtype)
+    if "k_scale" in entry:
+        k = k * entry["k_scale"].astype(dtype)
+        v = v * entry["v_scale"].astype(dtype)
+    return k, v
+
+
 def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
-                   cache_kv=None, cache_index=None, lora_dropout=None):
+                   cache_entry=None, cache_index=None, lora_dropout=None):
     """One decoder block. h: [B,T,H]. Returns (h, (new_k, new_v))."""
     dtype = h.dtype
     b, t, _ = h.shape
@@ -95,19 +146,26 @@ def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
     q = L.apply_rope(q, positions, cfg.rope_theta)
     k = L.apply_rope(k, positions, cfg.rope_theta)
 
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        k_all, v_all = ck.astype(dtype), cv.astype(dtype)
-        new_kv = {"k": ck, "v": cv}
+    ks = vs = None
+    if cache_entry is not None:
+        new_kv = cache_entry_update(cache_entry, k, v, cache_index)
+        if "k_scale" in new_kv and t > 1:
+            # quantized-cache PREFILL: the block being written is the only
+            # valid cache content (all callers prefill into fresh caches),
+            # so attend over the fresh bf16 K/V — keeps the flash kernel and
+            # skips the int8 round-trip for the big causal pass
+            k_all, v_all = k, v
+            kv_mask = jax.lax.dynamic_slice_in_dim(kv_mask, cache_index, t, 1)
+        else:
+            k_all, v_all = new_kv["k"], new_kv["v"]
+            ks, vs = new_kv.get("k_scale"), new_kv.get("v_scale")
     else:
         k_all, v_all = k, v
         new_kv = None
 
     attn_out = attention(q, k_all, v_all, kv_mask=kv_mask, causal=causal,
-                         q_offset=cache_index if cache_kv is not None else None,
-                         impl=cfg.attention_impl)
+                         q_offset=cache_index if cache_entry is not None else None,
+                         impl=cfg.attention_impl, k_scale=ks, v_scale=vs)
     h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype, drop(3))
 
     x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
@@ -180,18 +238,11 @@ def decoder_forward(
         for i in range(cfg.num_layers):
             lp = jax.tree.map(lambda x: x[i], params["layers"])
             h, new_kv = _layer_forward(lp, h, cfg, positions, kv_mask, causal,
-                                       (cache[i]["k"], cache[i]["v"]), cache_index)
+                                       cache[i], cache_index)
             new_cache_list.append(new_kv)
 
     h = L.rmsnorm(params["final_norm"], h, cfg.rms_norm_eps)
-    if return_hidden:
-        logits = h
-    elif "lm_head" in params:
-        logits = jnp.einsum("bth,hv->btv", h, params["lm_head"]["kernel"].astype(h.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("bth,vh->btv", h, params["embed"]["embedding"].astype(h.dtype),
-                            preferred_element_type=jnp.float32)
+    logits = h if return_hidden else L.lm_logits(params, h)
 
     new_cache = None if cache is None else new_cache_list
     return logits, new_cache
@@ -210,17 +261,21 @@ def decoder_forward(
 
 
 def init_decode_cache(cfg: DecoderConfig, batch: int, max_new: int,
-                      dtype=jnp.bfloat16):
+                      dtype=jnp.bfloat16, quantize: bool = False):
     """Per-layer decode-slot KV cache: [B, max_new, Hkv, D] per layer."""
-    shape = (batch, max_new, cfg.num_kv_heads, cfg.head_dim)
-    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-            for _ in range(cfg.num_layers)]
+    return init_cache(cfg, batch, max_new, dtype, quantize=quantize)
 
 
-def _grouped_decode_attention(q, pk, pv, prompt_mask, dk, dv, dec_mask, group: int):
+def _grouped_decode_attention(q, pk, pv, prompt_mask, dk, dv, dec_mask, group: int,
+                              pk_scale=None, pv_scale=None,
+                              dk_scale=None, dv_scale=None):
     """q: [B_u*G, 1, Hq, D]; pk/pv: [B_u, P, Hkv, D] (shared per group);
     dk/dv: [B_u*G, N, Hkv, D]; prompt_mask: [B_u, P]; dec_mask: [B_u*G, N].
-    Returns [B_u*G, 1, Hq, D]."""
+    Returns [B_u*G, 1, Hq, D].
+
+    `*_scale` [.., T, Hkv, 1]: int8-KV dequantization factors, applied to
+    the logits/probs (exact; see xla_attention) so the int8 cache feeds the
+    matmuls directly without a materialized bf16 copy."""
     bg, _, hq, d = q.shape
     bu, p_len, hkv, _ = pk.shape
     n = dk.shape[1]
@@ -230,23 +285,33 @@ def _grouped_decode_attention(q, pk, pv, prompt_mask, dk, dv, dec_mask, group: i
 
     qg = q.reshape(bu, group, hkv, gr, d)
     # prompt block: shared keys read ONCE per group (not per completion)
-    lp = jnp.einsum("bghrd,bphd->bghrp", qg, pk,
+    lp = jnp.einsum("bghrd,bphd->bghrp", qg, pk.astype(q.dtype),
                     preferred_element_type=jnp.float32) * scale
+    if pk_scale is not None:
+        lp = lp * jnp.transpose(pk_scale[..., 0], (0, 2, 1))[:, None, :, None, :]
     lp = jnp.where(prompt_mask[:, None, None, None, :].astype(bool), lp, neg)
     # decode block: per-completion keys
     qd = q.reshape(bg, hkv, gr, d)
-    ld = jnp.einsum("bhrd,bnhd->bhrn", qd, dk,
+    ld = jnp.einsum("bhrd,bnhd->bhrn", qd, dk.astype(q.dtype),
                     preferred_element_type=jnp.float32) * scale
+    if dk_scale is not None:
+        ld = ld * jnp.transpose(dk_scale[..., 0], (0, 2, 1))[:, :, None, :]
     ld = jnp.where(dec_mask[:, None, None, :].astype(bool), ld, neg)
 
     # one softmax across both blocks
     both = jnp.concatenate([lp.reshape(bg, hkv, gr, p_len), ld], axis=-1)
-    probs = jax.nn.softmax(both, axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(both, axis=-1)
     probs_p = probs[..., :p_len].reshape(bu, group, hkv, gr, p_len)
     probs_d = probs[..., p_len:]
-    out = (jnp.einsum("bghrp,bphd->bghrd", probs_p, pv)
+    if pv_scale is not None:
+        probs_p = probs_p * jnp.transpose(pv_scale[..., 0], (0, 2, 1))[:, None, :, None, :]
+    if dv_scale is not None:
+        probs_d = probs_d * jnp.transpose(dv_scale[..., 0], (0, 2, 1))[:, :, None, :]
+    probs_p = probs_p.astype(q.dtype)
+    probs_d = probs_d.astype(q.dtype)
+    out = (jnp.einsum("bghrp,bphd->bghrd", probs_p, pv.astype(q.dtype))
            .reshape(bg, hkv, gr, d)
-           + jnp.einsum("bhrn,bnhd->bhrd", probs_d, dv))
+           + jnp.einsum("bhrn,bnhd->bhrd", probs_d, dv.astype(q.dtype)))
     return out.reshape(bg, 1, hq, d)
 
 
@@ -278,28 +343,21 @@ def decoder_decode_step_grouped(params: Dict, cfg: DecoderConfig,
         q = L.apply_rope(q, positions, cfg.rope_theta)
         k = L.apply_rope(k, positions, cfg.rope_theta)
 
-        dk = jax.lax.dynamic_update_slice(dec_cache[i]["k"],
-                                          k.astype(dec_cache[i]["k"].dtype),
-                                          (0, dec_index, 0, 0))
-        dv = jax.lax.dynamic_update_slice(dec_cache[i]["v"],
-                                          v.astype(dec_cache[i]["v"].dtype),
-                                          (0, dec_index, 0, 0))
-        new_cache.append({"k": dk, "v": dv})
+        new_entry = cache_entry_update(dec_cache[i], k, v, dec_index)
+        new_cache.append(new_entry)
+        pe = prompt_cache[i]
 
         attn = _grouped_decode_attention(
-            q, prompt_cache[i]["k"].astype(dtype), prompt_cache[i]["v"].astype(dtype),
-            prompt_mask, dk.astype(dtype), dv.astype(dtype), dec_mask, group)
+            q, pe["k"], pe["v"], prompt_mask, new_entry["k"], new_entry["v"],
+            dec_mask, group,
+            pk_scale=pe.get("k_scale"), pv_scale=pe.get("v_scale"),
+            dk_scale=new_entry.get("k_scale"), dv_scale=new_entry.get("v_scale"))
         h = h + L.dense(lp["attn"]["o"], attn.reshape(bg, t, -1), dtype)
         x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
         h = h + L.swiglu(lp["mlp"], x, dtype)
 
     h = L.rmsnorm(params["final_norm"], h, cfg.rms_norm_eps)
-    if "lm_head" in params:
-        logits = jnp.einsum("bth,hv->btv", h, params["lm_head"]["kernel"].astype(h.dtype),
-                            preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.einsum("bth,vh->btv", h, params["embed"]["embedding"].astype(h.dtype),
-                            preferred_element_type=jnp.float32)
+    logits = L.lm_logits(params, h)
     return logits, new_cache
 
 

@@ -47,7 +47,7 @@ class InferenceServer:
                  max_batch: int = 8, batch_window_ms: float = 20.0,
                  max_new_tokens: int = 256, greedy_default: bool = False,
                  continuous: bool = False, slot_len: int = 2048,
-                 guided_regex: Optional[str] = None):
+                 guided_regex: Optional[str] = None, kv_int8: bool = False):
         """`continuous=True` switches from window micro-batching to the
         vLLM-style slot scheduler (generate/continuous.py): requests join
         the running decode at token boundaries instead of waiting for the
@@ -69,8 +69,10 @@ class InferenceServer:
         self.greedy_default = greedy_default
         self.continuous = continuous
         self.slot_len = slot_len
+        self.kv_int8 = kv_int8
         self.engine = GenerationEngine(
-            fusion_cfg, eos_token_id=processor.text_tokenizer.eos_token_id)
+            fusion_cfg, eos_token_id=processor.text_tokenizer.eos_token_id,
+            kv_int8=kv_int8)
         self.guided_regex = guided_regex
         self._guided_cache: Dict[str, Any] = {}
         self._queue: "queue.Queue" = queue.Queue()
@@ -119,7 +121,8 @@ class InferenceServer:
                                eos_token_id=self.processor.text_tokenizer.eos_token_id,
                                capacity=self.max_batch, max_len=self.slot_len,
                                sampling=self.sampling,
-                               guided=self._spec_for(self.guided_regex))
+                               guided=self._spec_for(self.guided_regex),
+                               kv_int8=self.kv_int8)
         pending: List[Any] = []
         rid = 0
         by_rid: Dict[int, Dict[str, Any]] = {}
@@ -313,6 +316,10 @@ def main(argv=None):
                         "per-channel storage, train/quant.py): decode is "
                         "weights-bandwidth-bound, so halving resident bytes "
                         "raises token throughput and frees HBM for slots")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV cache: halves cache HBM (2x continuous-"
+                        "batching slots / longer completions at fixed "
+                        "memory); ~5% slower at weights-dominated shapes")
     p.add_argument("--guided_regex", default=None,
                    help="constrain every completion to match this regex "
                         "(vLLM guided-decoding equivalent; per-request "
@@ -343,13 +350,14 @@ def main(argv=None):
         params = merge_lora(load_checkpoint(args.checkpoint, like=None) or params)
     if args.int8:
         from bioreason_tpu.train.quant import quantize_frozen_int8
-        params = quantize_frozen_int8(params)
+        params = quantize_frozen_int8(params, include_embed=True)
 
     server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
                              max_new_tokens=args.max_new_tokens,
                              continuous=args.continuous,
                              slot_len=args.slot_len,
-                             guided_regex=args.guided_regex).start()
+                             guided_regex=args.guided_regex,
+                             kv_int8=args.kv_int8).start()
     httpd = make_http_server(server, args.port)
     print(f"serving on :{args.port} (POST /generate, GET /healthz)")
     httpd.serve_forever()

@@ -26,42 +26,66 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def quantize_kernel_int8(w) -> Dict:
+def quantize_kernel_int8(w, xp=np) -> Dict:
     """[.., in, out] float kernel -> {"q": int8, "scale": f32 [.., 1, out]}
-    (symmetric per-output-channel absmax over the input axis)."""
-    w = np.asarray(w, np.float32)
-    scale = np.abs(w).max(axis=-2, keepdims=True) / 127.0
-    scale = np.maximum(scale, 1e-12)
-    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale.astype(np.float32))}
+    (symmetric per-output-channel absmax over the input axis).
+
+    `xp=jnp` runs the quantization ON DEVICE (jit-able pure function) —
+    used by the GRPO rollout-int8 path where weights already live in HBM."""
+    w = xp.asarray(w, xp.float32)
+    scale = xp.abs(w).max(axis=-2, keepdims=True) / 127.0
+    scale = xp.maximum(scale, 1e-12)
+    q = xp.clip(xp.rint(w / scale), -127, 127).astype(xp.int8)
+    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale).astype(jnp.float32)}
+
+
+def quantize_embedding_int8(e, xp=np) -> Dict:
+    """[V, H] embedding -> {"q": int8 [V,H], "scale": f32 [V,1]} (per-vocab-row
+    absmax). Serves both the gather (embed lookup) and the tied-logits matmul
+    (scale applied per vocab channel AFTER the dot) — see layers.embed /
+    layers.lm_logits."""
+    e = xp.asarray(e, xp.float32)
+    scale = xp.abs(e).max(axis=-1, keepdims=True) / 127.0
+    scale = xp.maximum(scale, 1e-12)
+    q = xp.clip(xp.rint(e / scale), -127, 127).astype(xp.int8)
+    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale).astype(jnp.float32)}
 
 
 def dequantize_kernel(node, dtype=jnp.float32):
     return node["q"].astype(dtype) * node["scale"].astype(dtype)
 
 
-def quantize_frozen_int8(params: Dict, subtrees=("decoder", "encoder")) -> Dict:
+def quantize_frozen_int8(params: Dict, subtrees=("decoder", "encoder"),
+                         include_embed: bool = False, xp=np) -> Dict:
     """Quantize every `kernel` leaf (ndim>=2) under the given frozen
-    subtrees. Embeddings, norms, biases, LoRA adapters and the trainable
-    dna_projection stay float."""
-    def walk(node):
+    subtrees. Norms, biases, LoRA adapters and the trainable dna_projection
+    stay float.
+
+    `include_embed=True` additionally quantizes the decoder embedding and
+    lm_head (per-vocab-row / per-channel scales) — the SERVING configuration:
+    every weight byte the decode loop streams is int8. Keep it False for
+    TRAINING trees (the fused-CE loss consumes a float head)."""
+    def walk(node, in_decoder: bool):
         if isinstance(node, list):
-            return [walk(x) for x in node]       # evo2 blocks are a list
+            return [walk(x, in_decoder) for x in node]   # evo2 blocks
         if not isinstance(node, dict):
             return node
         out = {}
         for k, v in node.items():
             if k == "lm_head":
-                out[k] = v                       # consumed via raw einsum, not dense()
+                out[k] = ({"kernel": quantize_kernel_int8(v["kernel"], xp)}
+                          if include_embed else v)
+            elif k == "embed" and in_decoder and include_embed:
+                out[k] = {"embedding": quantize_embedding_int8(v["embedding"], xp)}
             elif (k == "kernel" and not isinstance(v, dict)
                     and hasattr(v, "ndim") and v.ndim >= 2):
-                out[k] = quantize_kernel_int8(v)
+                out[k] = quantize_kernel_int8(v, xp)
             else:
-                out[k] = walk(v)
+                out[k] = walk(v, in_decoder)
         return out
 
     out = dict(params)
     for name in subtrees:
         if name in out:
-            out[name] = walk(out[name])
+            out[name] = walk(out[name], in_decoder=(name == "decoder"))
     return out

@@ -179,3 +179,116 @@ class TestInt8Serving:
             row = toks[b]
             n = np.argmax(row == EOS) + 1 if (row == EOS).any() else len(row)
             np.testing.assert_array_equal(row[:n], oracle[b, :n])
+
+    def test_full_int8_including_embed(self):
+        """Serving configuration: EVERY decoder weight int8 (kernels +
+        embedding + tied logits head). Greedy engine output matches the
+        no-cache oracle on the same quantized tree, and the int8 embedding
+        gather/logits agree with explicit dequantization."""
+        import jax.numpy as jnp
+        from bioreason_tpu.models import layers as L
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        qparams = quantize_frozen_int8(PARAMS, include_embed=True)
+        e = qparams["decoder"]["embed"]["embedding"]
+        assert isinstance(e, dict) and e["q"].dtype == jnp.int8
+        # embed() and lm_logits() vs explicit dequantized reference
+        deq = np.asarray(e["q"], np.float32) * np.asarray(e["scale"], np.float32)
+        ids = np.array([[3, 5, 9]], np.int32)
+        got = np.asarray(L.embed(qparams["decoder"]["embed"], jnp.asarray(ids),
+                                 jnp.float32))
+        np.testing.assert_allclose(got, deq[ids[0]][None], rtol=1e-6)
+        h = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, 2, deq.shape[1])), jnp.float32)
+        lg = np.asarray(L.lm_logits(qparams["decoder"], h))
+        ref = np.asarray(h, np.float32) @ deq.T
+        np.testing.assert_allclose(lg, ref, atol=1e-3, rtol=1e-3)
+        # whole engine runs on the quantized tree
+        mask = np.ones_like(ids)
+        toks, _ = ENGINE.generate(qparams, ids, mask, greedy=True,
+                                  max_new_tokens=4)
+        oracle = _greedy_oracle(qparams, CFG, ids, mask, 4)
+        row, orow = toks[0], oracle[0]
+        n = np.argmax(row == EOS) + 1 if (row == EOS).any() else len(row)
+        np.testing.assert_array_equal(row[:n], orow[:n])
+
+    def test_device_side_quantization_matches_host(self):
+        import jax
+        import jax.numpy as jnp
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        host = quantize_frozen_int8(PARAMS, include_embed=True)
+        dev = jax.jit(lambda p: quantize_frozen_int8(p, include_embed=True,
+                                                     xp=jnp))(PARAMS)
+        ah = jax.tree.leaves(host)
+        ad = jax.tree.leaves(dev)
+        assert len(ah) == len(ad)
+        for x, y in zip(ah, ad):
+            np.testing.assert_allclose(np.asarray(x, np.float32),
+                                       np.asarray(y, np.float32),
+                                       atol=1e-5, rtol=1e-5)
+
+
+class TestKVCacheInt8:
+    def test_decode_logits_close_to_bf16_cache(self):
+        """Prefill + one decode step with int8 KV vs float KV: logits agree
+        within quantization tolerance (per-token-head absmax, ~0.4% RMS)."""
+        import jax.numpy as jnp
+        from bioreason_tpu.models.qwen3 import decoder_forward, init_cache
+        ids = np.array([[3, 5, 9, 11, 2, 7]], np.int32)
+        mask = np.ones_like(ids)
+        outs = {}
+        for name, quant in [("f32", False), ("int8", True)]:
+            cache = init_cache(CFG.decoder, 1, 8, jnp.float32, quantize=quant)
+            cmask = np.pad(mask, ((0, 0), (0, 2)))
+            logits, cache = decoder_forward(
+                PARAMS["decoder"], CFG.decoder, input_ids=jnp.asarray(ids),
+                attention_mask=jnp.asarray(mask),
+                positions=jnp.arange(6)[None],
+                cache=cache, cache_index=0, cache_mask=jnp.asarray(cmask))
+            # one decode step
+            cmask[0, 6] = 1
+            step, _ = decoder_forward(
+                PARAMS["decoder"], CFG.decoder,
+                input_ids=jnp.asarray([[4]], np.int32),
+                attention_mask=jnp.ones((1, 1), jnp.int32),
+                positions=jnp.asarray([[6]]),
+                cache=cache, cache_index=6, cache_mask=jnp.asarray(cmask))
+            outs[name] = (np.asarray(logits[:, -1]), np.asarray(step[:, 0]))
+        for a, b in zip(outs["f32"], outs["int8"]):
+            np.testing.assert_allclose(a, b, atol=0.08, rtol=0.05)
+
+    def test_engine_kv_int8_deterministic_and_valid(self):
+        eng = GenerationEngine(CFG, eos_token_id=EOS, kv_int8=True)
+        ids = np.array([[3, 5, 9, 11], [1, 2, 3, 4]], np.int32)
+        mask = np.ones_like(ids)
+        t1, m1 = eng.generate(PARAMS, ids, mask, greedy=True, max_new_tokens=5)
+        t2, _ = eng.generate(PARAMS, ids, mask, greedy=True, max_new_tokens=5)
+        np.testing.assert_array_equal(t1, t2)
+        assert t1.shape == (2, 5) and m1.sum() > 0
+        # grouped mode with quantized prompt + decode caches
+        tg, mg = eng.generate(PARAMS, ids, mask, greedy=True,
+                              max_new_tokens=5, group_size=2)
+        assert tg.shape == (4, 5)
+        # greedy grouped completions replicate within each group
+        np.testing.assert_array_equal(tg[0], tg[1])
+        np.testing.assert_array_equal(tg[2], tg[3])
+
+    def test_continuous_batcher_kv_int8(self):
+        from bioreason_tpu.generate.continuous import ContinuousBatcher, Request
+        from bioreason_tpu.config import SamplingConfig
+        cb = ContinuousBatcher(PARAMS, CFG, eos_token_id=EOS, capacity=2,
+                               max_len=64, kv_int8=True, prompt_bucket=16,
+                               sampling=SamplingConfig(max_new_tokens=6))
+        reqs = [Request(i, np.array([[3, 5, 9, 11 + i]], np.int32),
+                        np.ones((1, 4), np.int32), max_new_tokens=6,
+                        greedy=True) for i in range(3)]
+        done = cb.run(reqs)
+        assert len(done) == 3 and all(len(r.tokens) >= 1 for r in done)
+        # int8 pool: same request twice -> same greedy tokens
+        cb2 = ContinuousBatcher(PARAMS, CFG, eos_token_id=EOS, capacity=2,
+                                max_len=64, kv_int8=True, prompt_bucket=16,
+                                sampling=SamplingConfig(max_new_tokens=6))
+        again = cb2.run([Request(9, np.array([[3, 5, 9, 11]], np.int32),
+                                 np.ones((1, 4), np.int32), max_new_tokens=6,
+                                 greedy=True)])
+        first = next(r for r in done if r.rid == 0)
+        assert again[0].tokens == first.tokens

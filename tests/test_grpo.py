@@ -168,3 +168,44 @@ class TestShardedDataPath:
         t1, m1 = sh.generate(p_sh, ids, mask, max_new_tokens=6, greedy=True)
         np.testing.assert_array_equal(t0, t1)
         np.testing.assert_array_equal(m0, m1)
+
+
+class TestRolloutInt8:
+    def test_step_runs_and_learns_signal(self):
+        """rollout_int8: device-side quantized rollouts feed the standard
+        update; loss/reward finite, LoRA leaves actually change."""
+        import jax
+        from bioreason_tpu.config import (FusionConfig, GRPOConfig, LoRAConfig,
+                                          OptimConfig, SamplingConfig)
+        from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+        from bioreason_tpu.data.kegg import (format_kegg_prompt_only,
+                                             synthetic_kegg_items)
+        from bioreason_tpu.train.grpo import GRPOTrainer
+        from bioreason_tpu.train.rewards import get_reward_funcs
+
+        tok = ByteTextTokenizer()
+        proc = BioProcessor(tok, KmerTokenizer())
+        fusion_cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                       dna_pad_token_id=tok.dna_pad_id)
+        cfg = GRPOConfig(num_generations=2, batch_size=4, beta=0.04,
+                         num_iterations=1, max_completion_length=12,
+                         rollout_int8=True,
+                         sampling=SamplingConfig(max_new_tokens=12),
+                         optim=OptimConfig(total_steps=2),
+                         lora=LoRAConfig(r=2, alpha=4))
+        trainer = GRPOTrainer(fusion_cfg, cfg, proc,
+                              get_reward_funcs(["xmlcount"]))
+        assert trainer._jit_rollout_quant is not None
+        # the quantized tree must carry int8 kernels + embedding
+        import bioreason_tpu.train.trainable as T
+        params = T.combine(trainer.partition, trainer.train_leaves,
+                           trainer.frozen_leaves)
+        q = trainer._jit_rollout_quant(params)
+        assert str(q["decoder"]["embed"]["embedding"]["q"].dtype) == "int8"
+        assert str(q["decoder"]["layers"]["attn"]["q"]["kernel"]["q"].dtype) == "int8"
+        prompts = [format_kegg_prompt_only(it)
+                   for it in synthetic_kegg_items(2, seq_len=24, seed=0)]
+        m = trainer.step([p for p in prompts for _ in range(2)])
+        assert np.isfinite(m["loss"]) and np.isfinite(m["reward"])
+        assert len(trainer.last_completions) == 4
+        assert m["completion_length"] > 0
