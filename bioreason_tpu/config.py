@@ -38,6 +38,18 @@ class DecoderConfig:
                                      # recompute elementwise: ~remat-off speed
                                      # at a fraction of the activation memory)
     dtype: str = "bfloat16"          # compute dtype; params kept fp32
+    # Mixture-of-Experts FFN (Qwen3-MoE family, e.g. 30B-A3B). num_experts=0
+    # keeps the dense SwiGLU. When >0, EVERY layer is sparse (the HF family's
+    # decoder_sparse_step=1, mlp_only_layers=[] default). GShard-style
+    # capacity dispatch/combine einsums; experts shard over the 'model' mesh
+    # axis (expert parallelism, parallel/partition.py).
+    num_experts: int = 0
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+    # tokens per expert = capacity_factor * k * N / E; overflow tokens drop
+    # (standard GShard). Set >= E/k for provably-lossless routing (tests).
+    moe_capacity_factor: float = 1.25
 
     @classmethod
     def tiny(cls, vocab_size: int = 300) -> "DecoderConfig":
@@ -59,6 +71,23 @@ class DecoderConfig:
     def qwen3_4b(cls, vocab_size: int = 151936) -> "DecoderConfig":
         return cls(vocab_size=vocab_size, hidden_size=2560, intermediate_size=9728,
                    num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128)
+
+    @classmethod
+    def tiny_moe(cls, vocab_size: int = 300) -> "DecoderConfig":
+        return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+                   num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                   num_experts=4, num_experts_per_tok=2,
+                   moe_intermediate_size=64, remat=False,
+                   attention_impl="xla", dtype="float32")
+
+    @classmethod
+    def qwen3_30b_a3b(cls, vocab_size: int = 151936) -> "DecoderConfig":
+        """Qwen3-30B-A3B (MoE): 128 experts, 8 active, 3B active params."""
+        return cls(vocab_size=vocab_size, hidden_size=2048,
+                   intermediate_size=0, num_layers=48, num_heads=32,
+                   num_kv_heads=4, head_dim=128, tie_word_embeddings=False,
+                   num_experts=128, num_experts_per_tok=8,
+                   moe_intermediate_size=768, norm_topk_prob=True)
 
 
 @dataclass(frozen=True)

@@ -329,7 +329,8 @@ def _decode_rows(dec_params, cfg, token_ids, positions, cache, cache_mask,
                           v_scale=entry.get("v_scale"))
         h = h + L.dense(lp["attn"]["o"], a.reshape(b, t, -1), dtype)
         x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
-        h = h + L.swiglu(lp["mlp"], x, dtype)
+        from bioreason_tpu.models.qwen3 import _mlp
+        h = h + _mlp(lp, cfg, x, dtype)
 
     h = L.rmsnorm(dec_params["final_norm"], h, cfg.rms_norm_eps)
     logits = L.lm_logits(dec_params, h)

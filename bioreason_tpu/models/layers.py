@@ -11,6 +11,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None,
@@ -142,6 +143,67 @@ def swiglu(params, x, dtype=jnp.bfloat16, lora_dropout=None):
     g = dense(params["gate"], x, dtype, drop(0))
     u = dense(params["up"], x, dtype, drop(1))
     return dense(params["down"], jax.nn.silu(g) * u, dtype, drop(2))
+
+
+def moe_init(rng, dim: int, num_experts: int, hidden: int):
+    """Mixture-of-Experts FFN (Qwen3-MoE family): linear router + a bank of
+    SwiGLU experts stored as stacked [E, in, out] kernels (one leaf per
+    projection, so expert parallelism is just a PartitionSpec on axis 0)."""
+    kr, kg, ku, kd = jax.random.split(rng, 4)
+    std_in, std_h = dim ** -0.5, hidden ** -0.5
+    return {
+        "router": dense_init(kr, dim, num_experts),
+        "experts": {
+            "gate": jax.random.normal(kg, (num_experts, dim, hidden), jnp.float32) * std_in,
+            "up": jax.random.normal(ku, (num_experts, dim, hidden), jnp.float32) * std_in,
+            "down": jax.random.normal(kd, (num_experts, hidden, dim), jnp.float32) * std_h,
+        },
+    }
+
+
+def moe_apply(params, x, top_k: int, norm_topk_prob: bool = True,
+              dtype=jnp.bfloat16, capacity_factor: float = 1.25):
+    """GShard-style capacity-based MoE dispatch (the canonical TPU/GSPMD
+    formulation: dispatch/combine one-hot einsums, experts batched on a
+    leading E axis that shards over the 'model' mesh axis).
+
+    Router math mirrors HF Qwen3MoeSparseMoeBlock: softmax over ALL experts
+    in fp32, top-k, optional re-normalization of the kept probabilities
+    (`norm_topk_prob`). Tokens beyond an expert's capacity
+    C = ceil(capacity_factor * k * N / E) are dropped (contribute zero) —
+    set capacity_factor >= E/k for provably-lossless routing."""
+    b, t, h = x.shape
+    n = b * t
+    xf = x.reshape(n, h).astype(dtype)
+    e = params["experts"]["gate"].shape[0]
+
+    logits = dense(params["router"], xf, dtype)                  # [N, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    vals, idx = jax.lax.top_k(probs, top_k)                      # [N, k]
+    if norm_topk_prob:
+        vals = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-9)
+
+    onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)           # [N, k, E]
+    assign = onehot.sum(1)                                       # [N, E] 0/1
+    gates = (onehot * vals[..., None]).sum(1)                    # [N, E]
+
+    cap = max(top_k, int(np.ceil(capacity_factor * top_k * n / e)))
+    pos = jnp.cumsum(assign, axis=0) - 1.0                       # [N, E]
+    keep = assign * (pos < cap)
+    disp = jax.nn.one_hot(pos.astype(jnp.int32), cap, dtype=dtype) \
+        * keep[..., None].astype(dtype)                          # [N, E, C]
+
+    ein = jnp.einsum("nec,nh->ech", disp, xf)                    # [E, C, H]
+    g = jnp.einsum("ech,ehi->eci", ein,
+                   params["experts"]["gate"].astype(dtype))
+    u = jnp.einsum("ech,ehi->eci", ein,
+                   params["experts"]["up"].astype(dtype))
+    y = jax.nn.silu(g) * u
+    oe = jnp.einsum("eci,eih->ech", y,
+                    params["experts"]["down"].astype(dtype))     # [E, C, H]
+    comb = (disp.astype(jnp.float32) * gates[..., None]).astype(dtype)
+    out = jnp.einsum("nec,ech->nh", comb, oe)
+    return out.reshape(b, t, h)
 
 
 def gelu_mlp_init(rng, dim: int, hidden: int, bias: bool = False):

@@ -48,7 +48,10 @@ def init_decoder(rng, cfg: DecoderConfig) -> Dict:
                 "k_norm": L.rmsnorm_init(cfg.head_dim),
             },
             "ln2": L.rmsnorm_init(cfg.hidden_size),
-            "mlp": L.swiglu_init(k5, cfg.hidden_size, cfg.intermediate_size),
+            "mlp": (L.moe_init(k5, cfg.hidden_size, cfg.num_experts,
+                               cfg.moe_intermediate_size)
+                    if cfg.num_experts
+                    else L.swiglu_init(k5, cfg.hidden_size, cfg.intermediate_size)),
         }
 
     params = {
@@ -124,6 +127,14 @@ def cache_entry_read(entry, dtype):
     return k, v
 
 
+def _mlp(lp, cfg: DecoderConfig, x, dtype, lora_dropout=None):
+    """Dense SwiGLU or Mixture-of-Experts FFN per cfg.num_experts."""
+    if cfg.num_experts:
+        return L.moe_apply(lp["mlp"], x, cfg.num_experts_per_tok,
+                           cfg.norm_topk_prob, dtype, cfg.moe_capacity_factor)
+    return L.swiglu(lp["mlp"], x, dtype, lora_dropout)
+
+
 def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
                    cache_entry=None, cache_index=None, lora_dropout=None):
     """One decoder block. h: [B,T,H]. Returns (h, (new_k, new_v))."""
@@ -169,9 +180,9 @@ def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
     h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype, drop(3))
 
     x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
-    h = h + L.swiglu(lp["mlp"], x, dtype,
-                     None if lora_dropout is None
-                     else (jax.random.fold_in(lora_dropout[0], 4), lora_dropout[1]))
+    h = h + _mlp(lp, cfg, x, dtype,
+                 None if lora_dropout is None
+                 else (jax.random.fold_in(lora_dropout[0], 4), lora_dropout[1]))
     return h, new_kv
 
 
@@ -354,7 +365,7 @@ def decoder_decode_step_grouped(params: Dict, cfg: DecoderConfig,
             dk_scale=new_entry.get("k_scale"), dv_scale=new_entry.get("v_scale"))
         h = h + L.dense(lp["attn"]["o"], attn.reshape(bg, t, -1), dtype)
         x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
-        h = h + L.swiglu(lp["mlp"], x, dtype)
+        h = h + _mlp(lp, cfg, x, dtype)
 
     h = L.rmsnorm(params["final_norm"], h, cfg.rms_norm_eps)
     logits = L.lm_logits(params, h)

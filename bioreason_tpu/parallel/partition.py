@@ -43,6 +43,13 @@ def partition_rules_decoder(prefix: str = "") -> Rules:
         (p + r"layers/attn/o/kernel$", P(None, "model", "fsdp")),
         (p + r"layers/mlp/(gate|up)/kernel$", P(None, "fsdp", "model")),
         (p + r"layers/mlp/down/kernel$", P(None, "model", "fsdp")),
+        # MoE (Qwen3-MoE family): EXPERT PARALLELISM — the expert bank's
+        # leading E axis (after the stacked-layer axis) shards over 'model'
+        # (each device owns E/n experts; GSPMD turns the dispatch/combine
+        # einsums into all-to-alls) with the hidden dim over 'fsdp'. The
+        # tiny router stays replicated (the `.*` fallback).
+        (p + r"layers/mlp/experts/(gate|up)$", P(None, "model", "fsdp", None)),
+        (p + r"layers/mlp/experts/down$", P(None, "model", None, "fsdp")),
         (p + r".*(scale|bias)$", P()),
         (p + r".*", P()),
     ]

@@ -95,16 +95,34 @@ def import_qwen3(state: Dict[str, np.ndarray], cfg: DecoderConfig,
         "mlp.up_proj.weight": ("mlp/up/kernel", True),
         "mlp.down_proj.weight": ("mlp/down/kernel", True),
     }
+    # Qwen3-MoE sparse FFN (Qwen3MoeForCausalLM: router `mlp.gate.weight`
+    # [E,H], per-expert `mlp.experts.{j}.{gate,up,down}_proj.weight`);
+    # experts stack onto a leading E axis -> layers/mlp/experts/{gate,up,down}
+    moe_pat = re.compile(r"mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight")
+    experts: Dict[str, Dict[int, Dict[int, np.ndarray]]] = {}
+
     for key in state:
         m = pat.match(key)
         if not m:
             continue
         i, sub = int(m.group(1)), m.group(2)
+        if sub == "mlp.gate.weight":                 # MoE router
+            put_layer("mlp/router/kernel", i, get(key).T)
+            continue
+        em = moe_pat.fullmatch(sub)
+        if em:
+            j, proj = int(em.group(1)), em.group(2)
+            experts.setdefault(proj, {}).setdefault(i, {})[j] = get(key).T
+            continue
         if sub not in mapping:
             continue
         dst, transpose = mapping[sub]
         arr = get(key)
         put_layer(dst, i, arr.T if transpose else arr)
+
+    for proj, per_layer in experts.items():
+        for i, per_expert in per_layer.items():
+            put_layer(f"mlp/experts/{proj}", i, _stack_layers(per_expert))
 
     layers: Dict = {}
     for dst, per_layer in layered.items():

@@ -42,7 +42,7 @@ def decoder_config_from_hf(path: str, **overrides) -> DecoderConfig:
     """Build a DecoderConfig from a local HF Qwen3-family directory."""
     c = _read_config(path)
     arch = (c.get("architectures") or [""])[0]
-    if "Qwen3" not in arch and c.get("model_type", "") != "qwen3":
+    if "Qwen3" not in arch and c.get("model_type", "") not in ("qwen3", "qwen3_moe"):
         raise ValueError(f"{path}: expected a Qwen3-family checkpoint, got "
                          f"architectures={c.get('architectures')}")
     kw = dict(
@@ -58,6 +58,15 @@ def decoder_config_from_hf(path: str, **overrides) -> DecoderConfig:
         tie_word_embeddings=bool(c.get("tie_word_embeddings", True)),
         max_position_embeddings=c.get("max_position_embeddings", 40960),
     )
+    if c.get("num_experts"):                         # Qwen3-MoE (e.g. 30B-A3B)
+        if c.get("mlp_only_layers") or c.get("decoder_sparse_step", 1) != 1:
+            raise ValueError(f"{path}: mixed dense/sparse Qwen3-MoE layouts "
+                             "(mlp_only_layers/decoder_sparse_step) are not "
+                             "supported — all layers must be sparse")
+        kw.update(num_experts=c["num_experts"],
+                  num_experts_per_tok=c.get("num_experts_per_tok", 8),
+                  moe_intermediate_size=c["moe_intermediate_size"],
+                  norm_topk_prob=bool(c.get("norm_topk_prob", True)))
     kw.update(overrides)
     return DecoderConfig(**kw)
 

@@ -1,0 +1,69 @@
+#!/usr/bin/env bash
+# End-to-end BioReason-equivalent pipeline on synthetic data, runnable on a
+# CPU-only box (8 virtual devices) or unchanged on a real TPU (drop
+# --cpu_devices). Mirrors the reference's workflow:
+#   curate -> SFT (train_dna_qwen) -> generative eval -> GRPO (reason.py)
+#   -> serve.
+# With real assets, swap in --data_dir <your jsonl>, --hf_llm_dir/--hf_dna_dir
+# (see MIGRATION.md).
+set -euo pipefail
+OUT=${OUT:-/tmp/bioreason_pipeline}
+DEV=${DEV:---cpu_devices 8}
+mkdir -p "$OUT"
+
+echo "== 1. SFT (LoRA) on synthetic KEGG-shaped data =="
+python -m bioreason_tpu.cli.train_sft --decoder tiny --encoder tiny $DEV \
+    --batch_size 4 --max_length_dna 128 --max_length_text 384 --max_steps 8 \
+    --n_synthetic 32 --sample_every 8 \
+    --checkpoint_dir "$OUT/sft" --log_dir "$OUT/logs_sft"
+
+echo "== 2. Generative test epoch (substring-match metrics) =="
+python -m bioreason_tpu.cli.train_sft --decoder tiny --encoder tiny $DEV \
+    --batch_size 4 --max_length_dna 128 --max_length_text 384 --max_steps 1 \
+    --n_synthetic 32 --test_generative --max_new_tokens 24 \
+    --checkpoint_dir "$OUT/sft_eval" --log_dir "$OUT/logs_eval"
+
+echo "== 3. GRPO RL on top of the SFT checkpoint =="
+python -m bioreason_tpu.cli.reason --decoder tiny --encoder tiny $DEV \
+    --num_generations 2 --batch_size 4 --max_steps 3 \
+    --max_completion_length 24 --max_length_dna 128 \
+    --reward_funcs xmlcount correctness \
+    --sft_checkpoint "$OUT/sft/sft_final" \
+    --checkpoint_dir "$OUT/grpo" --log_dir "$OUT/logs_grpo"
+
+echo "== 4. DNA-only classifier baseline =="
+python -m bioreason_tpu.cli.train_dna_only --encoder tiny $DEV \
+    --batch_size 4 --max_steps 5 --max_length_dna 128 \
+    --log_dir "$OUT/logs_clf"
+
+echo "== 5. Serve the SFT model (3s smoke) =="
+python - <<'EOF'
+import threading, time, json, urllib.request
+from bioreason_tpu.utils import force_cpu_devices
+force_cpu_devices(2)
+import jax
+from bioreason_tpu.config import FusionConfig, SamplingConfig
+from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+from bioreason_tpu.models import init_fusion
+from bioreason_tpu.serve import InferenceServer, make_http_server
+
+tok = ByteTextTokenizer()
+cfg = FusionConfig.tiny(text_vocab=tok.vocab_size, dna_pad_token_id=tok.dna_pad_id)
+srv = InferenceServer(init_fusion(jax.random.PRNGKey(0), cfg), cfg,
+                      BioProcessor(tok, KmerTokenizer()),
+                      sampling=SamplingConfig(max_new_tokens=8),
+                      max_new_tokens=8, greedy_default=True).start()
+httpd = make_http_server(srv, port=0)
+port = httpd.server_address[1]
+threading.Thread(target=httpd.serve_forever, daemon=True).start()
+req = urllib.request.Request(
+    f"http://127.0.0.1:{port}/generate",
+    json.dumps({"question": "Which pathway is affected?",
+                "reference_sequence": "ACGTACGTACGT",
+                "variant_sequence": "ACGAACGTACGT"}).encode(),
+    {"Content-Type": "application/json"})
+print("serve response:", json.load(urllib.request.urlopen(req, timeout=600)))
+httpd.shutdown(); srv.stop()
+EOF
+
+echo "== pipeline complete; artifacts in $OUT =="

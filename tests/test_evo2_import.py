@@ -268,3 +268,32 @@ class TestEvo2PretrainedFusion:
             jnp.asarray(out.attention_mask), jnp.asarray(out.dna_input_ids),
             jnp.asarray(out.dna_attention_mask))
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestEvo2Int8:
+    def test_quantized_evo2_forward_close(self):
+        """int8 storage composes with the Evo2 tower: dense kernels quantize
+        (consumed via layers.dense), hyena filter params (h/poles/residues,
+        non-'kernel' leaves) stay float; forward stays close to fp32."""
+        import jax
+        import jax.numpy as jnp
+        from bioreason_tpu.models.evo2 import init_hyena, hyena_forward
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+
+        cfg = _cfg()
+        params = init_hyena(jax.random.PRNGKey(0), cfg)
+        q = quantize_frozen_int8({"encoder": params})["encoder"]
+        # filters untouched, projections quantized
+        blk = next(b for b in q["blocks"] if "hyena" in b)
+        assert isinstance(blk["hyena"]["in_proj"]["kernel"], dict)
+        assert not isinstance(blk["hyena"]["short_filter"], dict)
+        assert not any(isinstance(v, dict) and "q" in v
+                       for v in blk["hyena"]["filter"].values())
+        ids = np.random.default_rng(0).integers(0, V, (2, 16)).astype(np.int32)
+        mask = np.ones((2, 16), np.int32)
+        ref = hyena_forward(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        got = hyena_forward(q, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        err = float(jnp.abs(got.astype(jnp.float32)
+                            - ref.astype(jnp.float32)).max())
+        scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+        assert err < 0.05 * scale + 0.05, (err, scale)
