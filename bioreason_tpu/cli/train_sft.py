@@ -191,10 +191,13 @@ def main(argv=None):
             logger.log_table("train_samples", ["step", "prompt", "generation", "answer"],
                              [[step, rendered[-200:], gen_text, ex["answer"]]], step=step)
         if args.save_every and step % args.save_every == 0:
-            trainer.save(state_path)
+            # async: the loop pays only an on-device snapshot copy;
+            # the host gather + file write run on a background thread
+            trainer.save(state_path, block=False)
         if args.max_steps and step >= args.max_steps:
             break
 
+    trainer.finish_saves()
     ckpt_path = os.path.join(args.checkpoint_dir, "sft_final")
     save_checkpoint(ckpt_path, trainer.params, step=step, stage="sft",
                     extra_metadata={"decoder": args.decoder, "encoder": args.encoder})

@@ -50,6 +50,41 @@ def save_checkpoint(path: str, params: Dict, step: int = 0, stage: str = "sft",
         np.savez(os.path.join(path, "params.npz"), **arrs)
 
 
+class AsyncSaver:
+    """Checkpoint writes off the training thread.
+
+    The training loop only pays for an on-device buffer COPY (async
+    dispatch, HBM->HBM): the copy decouples the snapshot from the trainer's
+    donated buffers (jitted steps donate train_leaves/opt_state — a
+    background thread reading the ORIGINAL arrays would race donation and
+    hit deleted buffers). The device->host gather and file I/O then run in
+    a daemon thread. One in-flight save at a time; a new save (or `wait`)
+    joins the previous one first."""
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, path: str, params: Dict, step: int = 0, stage: str = "sft",
+             extra_metadata: Optional[Dict[str, Any]] = None) -> None:
+        import threading
+
+        self.wait()
+        snapshot = jax.tree.map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, params)
+
+        def run():
+            save_checkpoint(path, snapshot, step=step, stage=stage,
+                            extra_metadata=extra_metadata)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_checkpoint(path: str, like: Optional[Dict] = None) -> Dict:
     """Restore params. `like` (an abstract or concrete pytree) guides dtype/
     structure restoration under Orbax; required for the npz fallback only to

@@ -194,10 +194,25 @@ class SFTTrainer:
     # -- resume (reference: manual Lightning ckpt_path resume,
     #    train_dna_qwen.py:975-982; here params + optimizer + step) ---------
 
-    def save(self, path: str, extra_metadata: Optional[Dict] = None):
-        from bioreason_tpu.train.checkpoint import save_checkpoint
-        save_checkpoint(path, {"params": self.params, "opt_state": self.opt_state},
-                        step=self.step, stage="sft", extra_metadata=extra_metadata)
+    def save(self, path: str, extra_metadata: Optional[Dict] = None,
+             block: bool = True):
+        """block=False hands the write to a background AsyncSaver: the loop
+        only pays for an on-device snapshot copy (donation-safe); call
+        `finish_saves()` (or the next save) to join."""
+        from bioreason_tpu.train.checkpoint import AsyncSaver, save_checkpoint
+        state = {"params": self.params, "opt_state": self.opt_state}
+        if block:
+            save_checkpoint(path, state, step=self.step, stage="sft",
+                            extra_metadata=extra_metadata)
+            return
+        if not hasattr(self, "_async_saver"):
+            self._async_saver = AsyncSaver()
+        self._async_saver.save(path, state, step=self.step, stage="sft",
+                               extra_metadata=extra_metadata)
+
+    def finish_saves(self):
+        if hasattr(self, "_async_saver"):
+            self._async_saver.wait()
 
     def restore(self, path: str) -> "SFTTrainer":
         from bioreason_tpu.train.checkpoint import load_checkpoint, load_metadata

@@ -198,3 +198,46 @@ class TestInt8Frozen:
         fusion = FusionConfig.tiny()
         with _pytest.raises(ValueError, match="int8"):
             SFTTrainer(fusion, SFTConfig(frozen_dtype="int8", lora=None))
+
+
+class TestAsyncCheckpoint:
+    def test_async_save_snapshot_is_donation_safe(self, tmp_path):
+        """save(block=False) snapshots on-device BEFORE returning; the next
+        (donating) train step must not corrupt the checkpoint, and the saved
+        state equals the state at save time."""
+        from bioreason_tpu.train.checkpoint import load_checkpoint, load_metadata
+        fusion, sft = tiny_cfgs()
+        trainer = SFTTrainer(fusion, sft)
+        batch = make_batch()
+        trainer.train_step(batch)
+        want = [np.asarray(l).copy() for l in trainer.train_leaves
+                if hasattr(l, "shape")]
+        path = str(tmp_path / "ck")
+        trainer.save(path, block=False)
+        # donate the live buffers while the save is in flight
+        trainer.train_step(batch)
+        trainer.train_step(batch)
+        trainer.finish_saves()
+        state = load_checkpoint(path, like={"params": trainer.params,
+                                            "opt_state": trainer.opt_state})
+        got, _ = T.split(trainer.partition, state["params"])
+        got = [np.asarray(l) for l in got if hasattr(l, "shape")]
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+        assert load_metadata(path)["step"] == 1
+
+    def test_async_equals_sync(self, tmp_path):
+        from bioreason_tpu.train.checkpoint import load_checkpoint
+        fusion, sft = tiny_cfgs()
+        trainer = SFTTrainer(fusion, sft)
+        trainer.train_step(make_batch())
+        p_sync, p_async = str(tmp_path / "s"), str(tmp_path / "a")
+        trainer.save(p_sync, block=True)
+        trainer.save(p_async, block=False)
+        trainer.finish_saves()
+        like = {"params": trainer.params, "opt_state": trainer.opt_state}
+        a = jax.tree.leaves(load_checkpoint(p_sync, like=like))
+        b = jax.tree.leaves(load_checkpoint(p_async, like=like))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
