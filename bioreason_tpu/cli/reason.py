@@ -161,11 +161,12 @@ def main(argv=None):
                                  rows, step=step)
             step += 1
             if args.save_every and step % args.save_every == 0:
-                trainer.save(state_path)
+                trainer.save(state_path, block=False)
             if step >= steps:
                 break
         epoch += 1
 
+    trainer.finish_saves()
     ckpt = os.path.join(args.checkpoint_dir, "grpo_final")
     save_checkpoint(ckpt, trainer.params, step=step, stage="grpo")
     print(f"saved checkpoint to {ckpt}")

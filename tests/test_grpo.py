@@ -99,6 +99,25 @@ class TestGRPOTrainer:
         adv = np.asarray(out["batch"]["advantages"]).reshape(-1, 2)
         np.testing.assert_allclose(adv.sum(axis=1), 0.0, atol=1e-4)
 
+    def test_async_save_matches_sync(self, tmp_path):
+        """save(block=False) snapshots before the next (donating) step; the
+        written state equals a blocking save taken at the same moment."""
+        from bioreason_tpu.train.checkpoint import load_checkpoint, load_metadata
+        trainer = make_trainer(G=2, batch=4)
+        items = make_items(2, 2)
+        trainer.step(items)
+        p_sync, p_async = str(tmp_path / "s"), str(tmp_path / "a")
+        trainer.save(p_sync, block=True)
+        trainer.save(p_async, block=False)
+        trainer.step(items)              # donates live buffers mid-flight
+        trainer.finish_saves()
+        like = {"params": trainer.params, "opt_state": trainer.opt_state}
+        a = jax.tree.leaves(load_checkpoint(p_sync, like=like))
+        b = jax.tree.leaves(load_checkpoint(p_async, like=like))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert load_metadata(p_async)["stage"] == "grpo"
+
 
 class TestShardedDataPath:
     """GRPO batch arrays are device_put with the batch PartitionSpec
