@@ -117,9 +117,15 @@ def main(argv=None):
             max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
     if args.sp_dna:
         import dataclasses
-        fusion_cfg = dataclasses.replace(
-            fusion_cfg, encoder=dataclasses.replace(
-                fusion_cfg.encoder, attention_impl="sp"))
+        if fusion_cfg.encoder_kind == "evo2":
+            # hyena tower SP: halo convs + chunked-state li (parallel/sp_hyena.py)
+            fusion_cfg = dataclasses.replace(
+                fusion_cfg, hyena=dataclasses.replace(
+                    fusion_cfg.hyena, attention_impl="sp"))
+        else:
+            fusion_cfg = dataclasses.replace(
+                fusion_cfg, encoder=dataclasses.replace(
+                    fusion_cfg.encoder, attention_impl="sp"))
     proc = BioProcessor(tok, dna_tok)
     train_items, val_items, test_items = load_items(
         args.dataset_type, args.data_dir, args.n_synthetic,

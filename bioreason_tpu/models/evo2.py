@@ -30,7 +30,10 @@ Filter flavors (cycled se/mr/li between attention layers — SURVEY §2.2
 
 TPU notes: the se/short convs lower to XLA depthwise convolutions (VPU);
 mr/li go through one batched rfft/irfft pair per block; everything else is
-MXU matmuls in bf16.
+MXU matmuls in bf16. With `attention_impl="sp"` and a registered mesh the
+whole tower runs sequence-parallel (parallel/sp_hyena.py): halo-exchange
+convs, chunked-state li filters, chunk-offset causal attention — exact, and
+activation memory scales as T/n_devices.
 
 The named-layer embedding tap (`blocks.20.mlp.l3`, dna_llm.py:127-146) maps
 to `cfg.embedding_tap_layer` / `tap_layer`; like the reference's forward
@@ -192,20 +195,38 @@ def init_hyena(rng, cfg: HyenaConfig) -> Dict:
 # forward
 # ---------------------------------------------------------------------------
 
+def _sp_enabled(cfg: HyenaConfig) -> bool:
+    """Sequence parallelism is on when the config opts in AND a mesh is
+    registered (parallel/sp.py contract, same as the NT encoder path)."""
+    if not str(cfg.attention_impl).startswith("sp"):
+        return False
+    from bioreason_tpu.parallel.sp import sequence_sharding_enabled
+    return sequence_sharding_enabled()
+
+
 def _hyena_mixer(block: Dict, h: jnp.ndarray, cfg: HyenaConfig, flavor: str,
                  mask: jnp.ndarray) -> jnp.ndarray:
     dtype = h.dtype
+    sp = _sp_enabled(cfg)
+    if sp:
+        from bioreason_tpu.parallel.sp_hyena import sp_causal_conv, sp_li_conv
+        conv = sp_causal_conv
+    else:
+        conv = _depthwise_causal_conv
     x = L.rmsnorm(block["ln1"], h, cfg.norm_eps)
     x = x * mask[..., None].astype(dtype)          # zero out pads for the convs
     z = L.dense(block["hyena"]["in_proj"], x, dtype)             # [B,T,3D]
-    z = _depthwise_causal_conv(z, block["hyena"]["short_filter"])
+    z = conv(z, block["hyena"]["short_filter"])
     x2, x1, v = jnp.split(z, 3, axis=-1)
     g = x1 * v
     fp = block["hyena"]["filter"]
     if flavor == "se":
-        inner = _depthwise_causal_conv(g, fp["h"])
+        inner = conv(g, fp["h"])
     elif flavor == "mr":
-        inner = _fft_causal_conv(g, _materialize_mr_filter(fp))
+        inner = (conv(g, _materialize_mr_filter(fp)) if sp
+                 else _fft_causal_conv(g, _materialize_mr_filter(fp)))
+    elif sp:  # li, sequence-sharded: exact chunked-state form
+        inner = sp_li_conv(g, fp)
     else:  # li
         inner = _fft_causal_conv(g, _materialize_li_filter(fp, g.shape[1]))
     inner = inner + g * block["hyena"]["filter_bias"].astype(dtype)

@@ -63,14 +63,13 @@ def sequence_spec() -> Optional[P]:
 
 
 def sp_attention(q, k, v, kv_mask=None, causal=False, impl="xla"):
-    """Bidirectional attention with the SEQUENCE axis sharded.
+    """Attention with the SEQUENCE axis sharded.
 
     q/k/v: [B, S, H, D] (S sharded over the registered axis), kv_mask [B, S].
     Each device all-gathers K/V/mask and runs the local-query attention
-    kernel; output stays sequence-sharded. `causal` is unsupported (the
-    encoder is bidirectional; decoder SP would need a ring schedule)."""
-    if causal:
-        raise NotImplementedError("sp_attention is for bidirectional encoders")
+    kernel; output stays sequence-sharded. `causal=True` (the Evo2/hyena
+    tower's striped attention layers) offsets each device's queries by its
+    chunk start so query i attends to global keys j <= chunk_start + i."""
     mesh, axis = _STATE["mesh"], _STATE["axis"]
     if mesh is None:
         raise RuntimeError("call enable_sequence_sharding(mesh, axis) first")
@@ -109,8 +108,13 @@ def sp_attention(q, k, v, kv_mask=None, causal=False, impl="xla"):
         k_full = jax.lax.all_gather(k, axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, axis, axis=1, tiled=True)
         m_full = jax.lax.all_gather(m, axis, axis=1, tiled=True)
-        return _attention(q, k_full, v_full, kv_mask=m_full, causal=False,
-                          impl=impl)
+        q_offset = (jax.lax.axis_index(axis) * q.shape[1]) if causal else None
+        # the Pallas kernel bakes q_offset in at trace time; a per-device
+        # traced offset needs the XLA path (causal layers are 1-in-7 of the
+        # hyena tower, so this costs little)
+        local_impl = "xla" if causal else impl
+        return _attention(q, k_full, v_full, kv_mask=m_full, causal=causal,
+                          q_offset=q_offset, impl=local_impl)
 
     out = local(q, k, v, kv_mask)
     return out[:, :s] if pad else out

@@ -46,9 +46,12 @@ class SFTTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
 
-        if str(fusion_cfg.encoder.attention_impl).startswith("sp"):
-            # long-DNA sequence parallelism (parallel/sp.py): register the
-            # mesh so encoder attention can shard_map over the model axis
+        if (str(fusion_cfg.encoder.attention_impl).startswith("sp")
+                or (fusion_cfg.hyena is not None
+                    and str(fusion_cfg.hyena.attention_impl).startswith("sp"))):
+            # long-DNA sequence parallelism (parallel/sp.py + sp_hyena.py):
+            # register the mesh so encoder attention / hyena convs can
+            # shard_map over the model axis
             from bioreason_tpu.parallel.sp import enable_sequence_sharding
             enable_sequence_sharding(self.mesh)
 

@@ -51,10 +51,18 @@ class TestSPAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
-    def test_causal_rejected(self, sp_mesh):
-        q = jnp.zeros((1, 8, 2, 4))
-        with pytest.raises(NotImplementedError):
-            sp_attention(q, q, q, causal=True)
+    def test_causal_matches_unsharded(self, sp_mesh):
+        """Causal SP attention (Evo2 striped attention layers): each device's
+        queries get their chunk-start offset in the causal mask."""
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((2, 16, 4, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 16, 4, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, 16, 4, 8)), jnp.float32)
+        mask = jnp.asarray(rng.integers(0, 2, (2, 16)), jnp.int32).at[:, -1].set(1)
+        out_sp = sp_attention(q, k, v, kv_mask=mask, causal=True)
+        out_ref = xla_attention(q, k, v, kv_mask=mask, causal=True)
+        np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_ref),
+                                   atol=1e-5, rtol=1e-5)
 
     def test_requires_registration(self):
         disable_sequence_sharding()
@@ -78,6 +86,91 @@ class TestSPEncoder:
         np.testing.assert_allclose(np.asarray(got).astype(np.float32),
                                    np.asarray(ref).astype(np.float32),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestSPHyena:
+    """Evo2/hyena tower sequence parallelism (parallel/sp_hyena.py): every op
+    must match the unsharded operator exactly — halo-exchange convs and the
+    chunked-state modal form are algebraic rewrites, not approximations."""
+
+    def test_causal_conv_matches(self, sp_mesh):
+        from bioreason_tpu.models.evo2 import _depthwise_causal_conv
+        from bioreason_tpu.parallel.sp_hyena import sp_causal_conv
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 32, 6)), jnp.float32)
+        for k in (1, 3, 7):                       # halo path (chunk=16 >= k-1)
+            filt = jnp.asarray(rng.standard_normal((6, k)), jnp.float32)
+            ref = _depthwise_causal_conv(x, filt)
+            got = sp_causal_conv(x, filt)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_long_filter_fft_path_matches(self, sp_mesh):
+        """k>16 routes through the local FFT conv; still exact with the halo."""
+        from bioreason_tpu.models.evo2 import _depthwise_causal_conv
+        from bioreason_tpu.parallel.sp_hyena import sp_causal_conv
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 48, 4)), jnp.float32)
+        filt = jnp.asarray(rng.standard_normal((4, 20)), jnp.float32)
+        ref = _depthwise_causal_conv(x, filt)
+        got = sp_causal_conv(x, filt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_chunk_shorter_than_filter_falls_back(self, sp_mesh):
+        """chunk (8) < k-1 (11): the all-gather fallback must stay exact."""
+        from bioreason_tpu.models.evo2 import _depthwise_causal_conv
+        from bioreason_tpu.parallel.sp_hyena import sp_causal_conv
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 16, 4)), jnp.float32)
+        filt = jnp.asarray(rng.standard_normal((4, 12)), jnp.float32)
+        ref = _depthwise_causal_conv(x, filt)
+        got = sp_causal_conv(x, filt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_li_conv_chunked_state_matches_fft(self, sp_mesh):
+        """The modal chunked-state decomposition equals the full-length FFT
+        conv: local conv + Re(Σ r·p^{t+1}·S) tail."""
+        from bioreason_tpu.models.evo2 import (_fft_causal_conv,
+                                               _materialize_li_filter)
+        from bioreason_tpu.parallel.sp_hyena import sp_li_conv
+        rng = np.random.default_rng(3)
+        d, order, t = 6, 4, 32
+        fp = {"poles": jnp.asarray(rng.standard_normal((d, order, 2)), jnp.float32),
+              "residues": jnp.asarray(
+                  rng.standard_normal((d, order, 2)) * 0.3, jnp.float32)}
+        g = jnp.asarray(rng.standard_normal((2, t, d)), jnp.float32)
+        ref = _fft_causal_conv(g, _materialize_li_filter(fp, t))
+        got = sp_li_conv(g, fp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-3)
+
+    def test_hyena_forward_sp_matches_xla(self, sp_mesh):
+        """Full tower (se/mr/li + striped attention + tap) under SP equals the
+        unsharded forward, including left-pad masking."""
+        import dataclasses as dc
+        from bioreason_tpu.config import HyenaConfig
+        from bioreason_tpu.models.evo2 import hyena_forward, init_hyena
+        cfg = HyenaConfig.tiny()                      # 4 layers: se, mr, li, attn
+        params = init_hyena(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(4)
+        ids = rng.integers(2, 70, (2, 32)).astype(np.int32)
+        mask = np.ones((2, 32), np.int32)
+        mask[0, :5] = 0                               # left padding
+        ref = hyena_forward(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        sp_cfg = dc.replace(cfg, attention_impl="sp")
+        got = hyena_forward(params, sp_cfg, shard_sequence(ids),
+                            shard_sequence(mask))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-3)
+        # named-layer tap under SP too (dna_llm.py:127-146 semantics)
+        ref_tap = hyena_forward(params, cfg, jnp.asarray(ids),
+                                jnp.asarray(mask), tap_layer=2)
+        got_tap = hyena_forward(params, sp_cfg, shard_sequence(ids),
+                                shard_sequence(mask), tap_layer=2)
+        np.testing.assert_allclose(np.asarray(got_tap), np.asarray(ref_tap),
+                                   atol=2e-4, rtol=2e-3)
 
 
 class TestSPTraining:
