@@ -97,16 +97,19 @@ class ContinuousBatcher:
         self._jit_prefill = jax.jit(self._prefill)
         self._jit_write = jax.jit(self._write_slot, donate_argnums=(0,))
         self._jit_step = jax.jit(self._step, donate_argnums=(1,))
+        self._jit_multi = {}                  # window size -> jitted multi-step
+        self._jit_first = jax.jit(self._first_tokens)
 
     # -- jitted pieces ---------------------------------------------------
 
     def _prefill(self, params, input_ids, attention_mask, dna_ids, dna_mask):
-        """One request's prompt -> (per-layer prompt KV [1,P,..], last logits)."""
+        """A batch of prompts -> (per-layer prompt KV [K,P,..], last logits
+        [K,V]). K>1 = grouped admission (admit_many)."""
         cfg = self.cfg.decoder
         embeds = fused_input_embeddings(params, self.cfg, input_ids,
                                         dna_ids, dna_mask)
-        p = input_ids.shape[1]
-        cache = init_cache(cfg, 1, p, jnp.dtype(cfg.dtype))
+        b, p = input_ids.shape
+        cache = init_cache(cfg, b, p, jnp.dtype(cfg.dtype))
         logits, cache = decoder_forward(
             params["decoder"], cfg, inputs_embeds=embeds,
             attention_mask=attention_mask,
@@ -114,28 +117,43 @@ class ContinuousBatcher:
             cache=cache, cache_index=0, cache_mask=attention_mask)
         return cache, logits[:, -1, :]
 
-    def _write_slot(self, cache, slot_kv, slot: jnp.ndarray):
-        """Copy a prefilled [1,P] KV into row `slot` of the pool at offset 0
-        (quantizing on the way in when the pool is int8)."""
+    def _first_tokens(self, rng, logits, allow=None):
+        """First token after prefill, per row: (greedy, sampled) — the host
+        picks per request. One jitted call instead of eager op dispatch."""
+        if allow is not None:
+            logits = jnp.where(allow, logits, jnp.asarray(-1e9, logits.dtype))
+        s = self.sampling
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled = sample_logits(rng, logits, temperature=s.temperature,
+                                top_k=s.top_k, top_p=s.top_p, greedy=False)
+        return greedy, sampled
+
+    def _write_slot(self, cache, slot_kv, slots: jnp.ndarray):
+        """Scatter a prefilled [K,P] KV batch into rows `slots` of the pool
+        at offset 0 (quantizing on the way in when the pool is int8).
+        Out-of-range slots (admission batch padding) are dropped."""
         from bioreason_tpu.models.qwen3 import _kv_quantize
+        slots = jnp.atleast_1d(slots)
         out = []
         for pool, kv in zip(cache, slot_kv):
-            dus = jax.lax.dynamic_update_slice
+            p = kv["k"].shape[1]
             if self.kv_int8:
                 qk, sk = _kv_quantize(kv["k"])
                 qv, sv = _kv_quantize(kv["v"])
                 out.append({
-                    "k": dus(pool["k"], qk, (slot, 0, 0, 0)),
-                    "v": dus(pool["v"], qv, (slot, 0, 0, 0)),
-                    "k_scale": dus(pool["k_scale"],
-                                   sk.astype(pool["k_scale"].dtype), (slot, 0, 0, 0)),
-                    "v_scale": dus(pool["v_scale"],
-                                   sv.astype(pool["v_scale"].dtype), (slot, 0, 0, 0)),
+                    "k": pool["k"].at[slots, :p].set(qk, mode="drop"),
+                    "v": pool["v"].at[slots, :p].set(qv, mode="drop"),
+                    "k_scale": pool["k_scale"].at[slots, :p].set(
+                        sk.astype(pool["k_scale"].dtype), mode="drop"),
+                    "v_scale": pool["v_scale"].at[slots, :p].set(
+                        sv.astype(pool["v_scale"].dtype), mode="drop"),
                 })
             else:
                 out.append({
-                    "k": dus(pool["k"], kv["k"].astype(pool["k"].dtype), (slot, 0, 0, 0)),
-                    "v": dus(pool["v"], kv["v"].astype(pool["v"].dtype), (slot, 0, 0, 0)),
+                    "k": pool["k"].at[slots, :p].set(
+                        kv["k"].astype(pool["k"].dtype), mode="drop"),
+                    "v": pool["v"].at[slots, :p].set(
+                        kv["v"].astype(pool["v"].dtype), mode="drop"),
                 })
         return out
 
@@ -167,6 +185,58 @@ class ContinuousBatcher:
         tok = jnp.where(active, tok, 0)
         return tok, new_kv, rng
 
+    def _multi_step(self, params, cache, last_token, positions, cache_mask,
+                    write_idx, active, greedy_row, rng, gstate=None,
+                    g_next=None, g_acc=None, *, k: int):
+        """`k` decode steps fully on device (lax.scan): host↔device sync
+        drops from per-token to per-window — the scheduling RPC overhead
+        amortizes over k tokens (through the axon tunnel it otherwise
+        dominates the ~5 ms decode step). Rows that hit EOS mid-window go
+        inactive ON DEVICE (no wasted compute or cache pollution); rows that
+        exceed their max_new_tokens keep decoding until the window ends and
+        the host discards the overrun (bounded by k-1 tokens)."""
+        cfg = self.cfg.decoder
+        s = self.sampling
+        rows = jnp.arange(self.capacity)
+        guided = g_next is not None
+
+        def body(carry, _):
+            (cache, last_token, positions, cache_mask, write_idx, active,
+             rng, gstate) = carry
+            was_active = active
+            cur = cache_mask[rows, write_idx]
+            cache_mask = cache_mask.at[rows, write_idx].set(
+                jnp.where(active, 1, cur))
+            logits, cache = _decode_rows(
+                params["decoder"], cfg, last_token[:, None],
+                positions[:, None], cache, cache_mask, write_idx)
+            row_logits = logits[:, 0, :]
+            if guided:
+                row = g_next[gstate]
+                allow = row != self.guided.dead
+                allow = allow.at[:, self.guided.eos_token_id].set(g_acc[gstate])
+                row_logits = jnp.where(allow, row_logits,
+                                       jnp.asarray(-1e9, row_logits.dtype))
+            greedy_tok = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
+            rng, kk = jax.random.split(rng)
+            sampled = sample_logits(kk, row_logits, temperature=s.temperature,
+                                    top_k=s.top_k, top_p=s.top_p, greedy=False)
+            tok = jnp.where(greedy_row, greedy_tok, sampled)
+            tok = jnp.where(was_active, tok, 0)
+            if guided:
+                gstate = jnp.where(was_active, g_next[gstate, tok], gstate)
+            positions = positions + was_active.astype(positions.dtype)
+            write_idx = write_idx + was_active.astype(write_idx.dtype)
+            last_token = jnp.where(was_active, tok, last_token)
+            active = active & (tok != self.eos)
+            return ((cache, last_token, positions, cache_mask, write_idx,
+                     active, rng, gstate), (tok, was_active))
+
+        init = (cache, last_token, positions, cache_mask, write_idx, active,
+                rng, gstate if guided else jnp.zeros_like(last_token))
+        carry, (toks, was_active) = jax.lax.scan(body, init, None, length=k)
+        return carry, toks, was_active
+
     # -- host scheduling -------------------------------------------------
 
     def _bucketed(self, n: int) -> int:
@@ -175,53 +245,91 @@ class ContinuousBatcher:
 
     def admit(self, req: Request) -> bool:
         """Prefill `req` and install it in a free slot. False if full."""
-        free = np.nonzero(~self.active)[0]
-        if len(free) == 0:
-            return False
-        slot = int(free[0])
-        width = self._bucketed(self.input_width(req))
-        if width > self.max_len:
-            raise ValueError(f"prompt {width} exceeds slot length {self.max_len}")
-        ids = np.zeros((1, width), np.int32)
-        mask = np.zeros((1, width), np.int32)
-        n = req.input_ids.shape[-1]
-        ids[0, width - n:] = req.input_ids.reshape(-1)     # left pad
-        mask[0, width - n:] = req.attention_mask.reshape(-1)
-        dna = (None if req.dna_input_ids is None
-               else jnp.asarray(req.dna_input_ids))
-        dmask = (None if req.dna_attention_mask is None
-                 else jnp.asarray(req.dna_attention_mask))
-        kv, last_logits = self._jit_prefill(self.params, jnp.asarray(ids),
-                                            jnp.asarray(mask), dna, dmask)
-        self.cache = self._jit_write(self.cache, kv, jnp.asarray(slot))
-        # first token comes from the prefill logits
-        if self.guided is not None:
-            allow = self._g_next_np[0] != self.guided.dead
-            allow[self.guided.eos_token_id] = bool(self._g_acc_np[0])
-            last_logits = jnp.where(jnp.asarray(allow), last_logits,
-                                    jnp.asarray(-1e9, last_logits.dtype))
-        self._rng, k = jax.random.split(self._rng)
-        s = self.sampling
-        if req.greedy:
-            tok = int(jnp.argmax(last_logits[0]))
-        else:
-            tok = int(sample_logits(k, last_logits, temperature=s.temperature,
-                                    top_k=s.top_k, top_p=s.top_p, greedy=False)[0])
-        if self.guided is not None:
-            self.gstate[slot] = self._g_next_np[0, tok]
-        req.slot = slot
-        req.tokens.append(tok)
-        self._by_slot[slot] = req
-        self.cache_mask[slot] = 0
-        self.cache_mask[slot, :width] = mask[0]
-        self.positions[slot] = req.prompt_len            # next ROPE position
-        self.next_col[slot] = width                      # decode tokens append here
-        self.last_token[slot] = tok
-        self.active[slot] = True
-        self.greedy_row[slot] = req.greedy
-        if tok == self.eos or len(req.tokens) >= req.max_new_tokens:
-            self._finish(slot)
-        return True
+        lst = [req]
+        return bool(self.admit_many(lst))
+
+    @staticmethod
+    def _pow2_bucket(k: int) -> int:
+        p = 1
+        while p < k:
+            p *= 2
+        return p
+
+    def admit_many(self, pending: List[Request]) -> List[Request]:
+        """Admit from the FRONT of `pending` (popping admitted requests)
+        until capacity is full. Requests with the same (prompt bucket, DNA
+        shape) prefill as ONE batched jitted call with one slot-pool scatter
+        and one first-token sample — per-request admission cost collapses
+        from several host↔device round trips to a few per shape group.
+        Group batch sizes pad to powers of two (bounded compile count);
+        padded rows scatter to an out-of-range slot with mode='drop'."""
+        free = list(np.nonzero(~self.active)[0])
+        take = pending[:len(free)]
+        if not take:
+            return []
+        del pending[:len(take)]
+        groups: dict = {}
+        for r in take:
+            width = self._bucketed(self.input_width(r))
+            if width > self.max_len:
+                raise ValueError(
+                    f"prompt {width} exceeds slot length {self.max_len}")
+            dshape = (None if r.dna_input_ids is None
+                      else tuple(np.asarray(r.dna_input_ids).shape))
+            groups.setdefault((width, dshape), []).append(r)
+
+        for (width, dshape), reqs in groups.items():
+            k = len(reqs)
+            kp = self._pow2_bucket(k)
+            ids = np.zeros((kp, width), np.int32)
+            mask = np.zeros((kp, width), np.int32)
+            for i, r in enumerate(reqs):
+                n = r.input_ids.shape[-1]
+                ids[i, width - n:] = r.input_ids.reshape(-1)     # left pad
+                mask[i, width - n:] = r.attention_mask.reshape(-1)
+            if dshape is None:
+                dna = dmask = None
+            else:
+                rows, ldna = dshape
+                dna = np.zeros((kp * rows, ldna), np.int32)
+                dmask = np.zeros((kp * rows, ldna), np.int32)
+                for i, r in enumerate(reqs):
+                    dna[i * rows:(i + 1) * rows] = np.asarray(r.dna_input_ids)
+                    dmask[i * rows:(i + 1) * rows] = np.asarray(
+                        r.dna_attention_mask)
+                dna, dmask = jnp.asarray(dna), jnp.asarray(dmask)
+            kv, last_logits = self._jit_prefill(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), dna, dmask)
+            slots = np.full((kp,), self.capacity, np.int32)  # pad rows: drop
+            slots[:k] = free[:k]
+            free = free[k:]
+            self.cache = self._jit_write(self.cache, kv, jnp.asarray(slots))
+            allow = None
+            if self.guided is not None:
+                allow_np = self._g_next_np[0] != self.guided.dead
+                allow_np[self.guided.eos_token_id] = bool(self._g_acc_np[0])
+                allow = jnp.asarray(allow_np)
+            self._rng, rk = jax.random.split(self._rng)
+            greedy_toks, sampled = self._jit_first(rk, last_logits, allow)
+            greedy_toks, sampled = np.asarray(greedy_toks), np.asarray(sampled)
+            for i, r in enumerate(reqs):
+                slot = int(slots[i])
+                tok = int(greedy_toks[i] if r.greedy else sampled[i])
+                if self.guided is not None:
+                    self.gstate[slot] = self._g_next_np[0, tok]
+                r.slot = slot
+                r.tokens.append(tok)
+                self._by_slot[slot] = r
+                self.cache_mask[slot] = 0
+                self.cache_mask[slot, :width] = mask[i]
+                self.positions[slot] = r.prompt_len      # next ROPE position
+                self.next_col[slot] = width              # decode appends here
+                self.last_token[slot] = tok
+                self.active[slot] = True
+                self.greedy_row[slot] = r.greedy
+                if tok == self.eos or len(r.tokens) >= r.max_new_tokens:
+                    self._finish(slot)
+        return take
 
     @staticmethod
     def input_width(req: Request) -> int:
@@ -270,16 +378,117 @@ class ContinuousBatcher:
                 self._finish(slot)
         return finished
 
-    def run(self, requests: List[Request]) -> List[Request]:
-        """Convenience driver: admit-as-capacity-allows until all finish."""
+    def step_window(self, k: int) -> List[Request]:
+        """Advance every active slot up to `k` tokens with ONE host↔device
+        round trip (see _multi_step). Falls back to single steps when a slot
+        lacks k columns of cache headroom."""
+        if k <= 1:
+            return self.step()
+        if not self.active.any():
+            return []
+        if int(self.next_col[self.active].max()) + k > self.max_len:
+            out = []
+            for _ in range(k):
+                out.extend(self.step())
+            return out
+        if k not in self._jit_multi:
+            import functools
+            self._jit_multi[k] = jax.jit(
+                functools.partial(self._multi_step, k=k), donate_argnums=(1,))
+        gkw = (dict(gstate=jnp.asarray(self.gstate),
+                    g_next=self.guided.next_state, g_acc=self.guided.accepting)
+               if self.guided is not None else {})
+        carry, toks, was_active = self._jit_multi[k](
+            self.params, self.cache, jnp.asarray(self.last_token),
+            jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
+            jnp.asarray(self.next_col), jnp.asarray(self.active),
+            jnp.asarray(self.greedy_row), self._rng, **gkw)
+        (self.cache, last_token, positions, cache_mask, write_idx, active,
+         self._rng, gstate) = carry
+        # sync host mirrors BEFORE harvesting (finish() zeroes mask rows);
+        # np.array copies — np.asarray views of jax arrays are read-only
+        self.last_token = np.array(last_token)
+        self.positions = np.array(positions)
+        self.cache_mask = np.array(cache_mask)
+        self.next_col = np.array(write_idx)
+        device_active = np.array(active)
+        if self.guided is not None:
+            self.gstate = np.array(gstate)
+        toks = np.asarray(toks)
+        was = np.asarray(was_active)
+        finished = []
+        for step in range(k):
+            for slot in np.nonzero(was[step])[0]:
+                req = self._by_slot[slot]
+                if req is None or req.done:
+                    continue        # overran max_new mid-window: discard tail
+                t = int(toks[step, slot])
+                req.tokens.append(t)
+                if t == self.eos or len(req.tokens) >= req.max_new_tokens:
+                    finished.append(req)
+                    self._finish(slot)
+        self.active &= device_active        # device-side EOS exits
+        return finished
+
+    def warmup(self, prompt_widths, dna_shapes=(None,), windows=(1,)):
+        """Precompile the serving paths: batched admission at every
+        power-of-two batch bucket for each (prompt width, DNA shape), plus
+        the decode step / decode windows. Serving engines pay this once at
+        startup (vLLM does the same); without it a first-seen admission
+        batch size compiles MID-TRAFFIC (~30 s per shape on a remote TPU).
+        All calls are state-neutral: scatters go to the out-of-range drop
+        slot and no request state is touched."""
+        kps, k = [], 1
+        top = self._pow2_bucket(self.capacity)
+        while k <= top:
+            kps.append(k)
+            k *= 2
+        drop = jnp.full((1,), self.capacity, jnp.int32)
+        for width in prompt_widths:
+            width = self._bucketed(width)
+            for dshape in dna_shapes:
+                for kp in kps:
+                    ids = jnp.zeros((kp, width), jnp.int32)
+                    mask = jnp.zeros((kp, width), jnp.int32)
+                    if dshape is None:
+                        dna = dmask = None
+                    else:
+                        rows, ldna = dshape
+                        dna = jnp.zeros((kp * rows, ldna), jnp.int32)
+                        dmask = jnp.zeros((kp * rows, ldna), jnp.int32)
+                    kv, logits = self._jit_prefill(self.params, ids, mask,
+                                                   dna, dmask)
+                    self.cache = self._jit_write(
+                        self.cache, kv, jnp.broadcast_to(drop, (kp,)))
+                    self._rng, rk = jax.random.split(self._rng)
+                    self._jit_first(rk, logits, None)
+        gkw = (dict(gstate=jnp.asarray(self.gstate),
+                    g_next=self.guided.next_state, g_acc=self.guided.accepting)
+               if self.guided is not None else {})
+        for w in windows:
+            args = (self.params, self.cache, jnp.asarray(self.last_token),
+                    jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
+                    jnp.asarray(self.next_col), jnp.asarray(self.active),
+                    jnp.asarray(self.greedy_row), self._rng)
+            if w <= 1:
+                _, self.cache, self._rng = self._jit_step(*args, **gkw)
+                continue
+            if w not in self._jit_multi:
+                import functools
+                self._jit_multi[w] = jax.jit(
+                    functools.partial(self._multi_step, k=w),
+                    donate_argnums=(1,))
+            carry, _, _ = self._jit_multi[w](*args, **gkw)
+            self.cache, self._rng = carry[0], carry[6]
+
+    def run(self, requests: List[Request], window: int = 1) -> List[Request]:
+        """Convenience driver: admit-as-capacity-allows until all finish.
+        `window`: decode steps per host round trip (step_window)."""
         pending = list(requests)
         done: List[Request] = []
         while pending or self.active.any():
-            while pending and self.admit(pending[0]):
-                r = pending.pop(0)
-                if r.done:
-                    done.append(r)
-            done.extend(self.step())
+            done.extend(r for r in self.admit_many(pending) if r.done)
+            done.extend(self.step_window(window) if window > 1 else self.step())
         return done
 
 

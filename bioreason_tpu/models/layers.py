@@ -175,7 +175,8 @@ def moe_apply(params, x, top_k: int, norm_topk_prob: bool = True,
     b, t, h = x.shape
     n = b * t
     xf = x.reshape(n, h).astype(dtype)
-    e = params["experts"]["gate"].shape[0]
+    gate_bank = params["experts"]["gate"]
+    e = (gate_bank["q"] if isinstance(gate_bank, dict) else gate_bank).shape[0]
 
     logits = dense(params["router"], xf, dtype)                  # [N, E]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -193,14 +194,19 @@ def moe_apply(params, x, top_k: int, norm_topk_prob: bool = True,
     disp = jax.nn.one_hot(pos.astype(jnp.int32), cap, dtype=dtype) \
         * keep[..., None].astype(dtype)                          # [N, E, C]
 
+    def bank(name):
+        # expert banks may be int8-stored (train/quant.py: per-(expert,
+        # out-channel) scales); the convert+rescale fuses into the einsum
+        node = params["experts"][name]
+        if isinstance(node, dict):
+            return node["q"].astype(dtype) * node["scale"].astype(dtype)
+        return node.astype(dtype)
+
     ein = jnp.einsum("nec,nh->ech", disp, xf)                    # [E, C, H]
-    g = jnp.einsum("ech,ehi->eci", ein,
-                   params["experts"]["gate"].astype(dtype))
-    u = jnp.einsum("ech,ehi->eci", ein,
-                   params["experts"]["up"].astype(dtype))
+    g = jnp.einsum("ech,ehi->eci", ein, bank("gate"))
+    u = jnp.einsum("ech,ehi->eci", ein, bank("up"))
     y = jax.nn.silu(g) * u
-    oe = jnp.einsum("eci,eih->ech", y,
-                    params["experts"]["down"].astype(dtype))     # [E, C, H]
+    oe = jnp.einsum("eci,eih->ech", y, bank("down"))             # [E, C, H]
     comb = (disp.astype(jnp.float32) * gates[..., None]).astype(dtype)
     out = jnp.einsum("nec,ech->nh", comb, oe)
     return out.reshape(b, t, h)

@@ -47,7 +47,8 @@ class InferenceServer:
                  max_batch: int = 8, batch_window_ms: float = 20.0,
                  max_new_tokens: int = 256, greedy_default: bool = False,
                  continuous: bool = False, slot_len: int = 2048,
-                 guided_regex: Optional[str] = None, kv_int8: bool = False):
+                 guided_regex: Optional[str] = None, kv_int8: bool = False,
+                 decode_window: int = 1):
         """`continuous=True` switches from window micro-batching to the
         vLLM-style slot scheduler (generate/continuous.py): requests join
         the running decode at token boundaries instead of waiting for the
@@ -70,6 +71,10 @@ class InferenceServer:
         self.continuous = continuous
         self.slot_len = slot_len
         self.kv_int8 = kv_int8
+        # decode steps per host round trip in continuous mode: >1 amortizes
+        # the scheduling sync over k tokens (throughput) at the cost of up
+        # to k-1 steps of admission latency for queued requests
+        self.decode_window = max(1, decode_window)
         self.engine = GenerationEngine(
             fusion_cfg, eos_token_id=processor.text_tokenizer.eos_token_id,
             kv_int8=kv_int8)
@@ -168,11 +173,11 @@ class InferenceServer:
                     req["error"] = str(e)
                     req["event"].set()
             try:
-                while pending and cb.admit(pending[0]):
-                    r = pending.pop(0)
+                for r in cb.admit_many(pending):    # batched shape-grouped prefill
                     if r.done:
                         deliver(r)
-                for r in cb.step():
+                for r in (cb.step_window(self.decode_window)
+                          if self.decode_window > 1 else cb.step()):
                     deliver(r)
             except Exception as e:                       # pragma: no cover
                 for r in list(by_rid.values()):
@@ -326,6 +331,10 @@ def main(argv=None):
                         "'guided_regex' also accepted in micro-batch mode)")
     p.add_argument("--slot_len", type=int, default=2048,
                    help="per-slot KV length (continuous mode)")
+    p.add_argument("--decode_window", type=int, default=1,
+                   help="continuous mode: decode steps per host sync "
+                        "(throughput lever; adds <=N-1 steps of admission "
+                        "latency)")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
@@ -357,7 +366,8 @@ def main(argv=None):
                              continuous=args.continuous,
                              slot_len=args.slot_len,
                              guided_regex=args.guided_regex,
-                             kv_int8=args.kv_int8).start()
+                             kv_int8=args.kv_int8,
+                             decode_window=args.decode_window).start()
     httpd = make_http_server(server, args.port)
     print(f"serving on :{args.port} (POST /generate, GET /healthz)")
     httpd.serve_forever()

@@ -80,6 +80,12 @@ def quantize_frozen_int8(params: Dict, subtrees=("decoder", "encoder"),
             elif (k == "kernel" and not isinstance(v, dict)
                     and hasattr(v, "ndim") and v.ndim >= 2):
                 out[k] = quantize_kernel_int8(v, xp)
+            elif (k == "experts" and isinstance(v, dict)
+                    and all(not isinstance(w, dict) for w in v.values())):
+                # MoE expert banks [E, in, out] (layers.moe_init): quantize
+                # per-(expert, out-channel) — axis -2 absmax gives [E,1,out]
+                out[k] = {name: quantize_kernel_int8(w, xp)
+                          for name, w in v.items()}
             else:
                 out[k] = walk(v, in_decoder)
         return out

