@@ -61,6 +61,44 @@ def kernel_numeric_smoke():
     assert bwd_err < 5e-1, f"flash bwd diverges from XLA on-chip: {bwd_err}"
     print(f"# kernel smoke ok: fwd_err={fwd_err:.2e} bwd_err={bwd_err:.2e}")
 
+    # banded local attention (ops/local_attention.py) vs a masked-XLA band
+    # oracle — same on-chip tiling concern as flash
+    from bioreason_tpu.ops.local_attention import local_attention
+    window = 96
+
+    def band_oracle(q, k, v):
+        t = q.shape[1]
+        i = jnp.arange(t)[:, None]
+        j = jnp.arange(t)[None, :]
+        band = (jnp.abs(i - j) <= window).astype(jnp.int32)
+        group = q.shape[2] // k.shape[2]
+        kx = jnp.repeat(k, group, axis=2)
+        vx = jnp.repeat(v, group, axis=2)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                       kx.astype(jnp.float32)) * (q.shape[-1] ** -0.5)
+        s = jnp.where(band[None, None] > 0, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, vx.astype(jnp.float32))
+
+    def loss_local(q, k, v):
+        return (local_attention(q, k, v, window, block=128)
+                .astype(jnp.float32) ** 2).sum()
+
+    def loss_band(q, k, v):
+        return (band_oracle(q, k, v) ** 2).sum()
+
+    out_l = jax.jit(lambda *a: local_attention(*a, window, block=128))(q, k, v)
+    out_b = jax.jit(band_oracle)(q, k, v)
+    lerr = float(jnp.abs(out_l.astype(jnp.float32) - out_b).max())
+    gl = jax.jit(jax.grad(loss_local, argnums=(0, 1, 2)))(q, k, v)
+    gb = jax.jit(jax.grad(loss_band, argnums=(0, 1, 2)))(q, k, v)
+    lbwd = max(float(jnp.abs(a.astype(jnp.float32)
+                             - b.astype(jnp.float32)).max())
+               for a, b in zip(gl, gb))
+    assert lerr < 5e-2, f"local-attn fwd diverges on-chip: {lerr}"
+    assert lbwd < 5e-1, f"local-attn bwd diverges on-chip: {lbwd}"
+    print(f"# local-attn smoke ok: fwd_err={lerr:.2e} bwd_err={lbwd:.2e}")
+
 
 def main(argv=None):
     import argparse

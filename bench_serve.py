@@ -21,8 +21,8 @@ def main(argv=None):
     import os
     ap = argparse.ArgumentParser()
     ap.add_argument("--frozen", default="int8", choices=["bfloat16", "int8"])
-    ap.add_argument("--capacity", type=int, default=32)
-    ap.add_argument("--requests", type=int, default=48)
+    ap.add_argument("--capacity", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=96)
     ap.add_argument("--window", type=int, default=16,
                     help="decode steps per host round trip (step_window)")
     ap.add_argument("--max_new", type=int, default=128)

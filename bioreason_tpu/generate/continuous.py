@@ -110,12 +110,17 @@ class ContinuousBatcher:
                                         dna_ids, dna_mask)
         b, p = input_ids.shape
         cache = init_cache(cfg, b, p, jnp.dtype(cfg.dtype))
-        logits, cache = decoder_forward(
+        # return_hidden: only the LAST position's logits are needed (prompts
+        # are left-padded) — materializing [K, P, vocab] logits costs ~5 GB
+        # at K=64 x P=256 x 152k vocab and OOMs large admission batches
+        hidden, cache = decoder_forward(
             params["decoder"], cfg, inputs_embeds=embeds,
             attention_mask=attention_mask,
             positions=L.positions_from_mask(attention_mask),
-            cache=cache, cache_index=0, cache_mask=attention_mask)
-        return cache, logits[:, -1, :]
+            cache=cache, cache_index=0, cache_mask=attention_mask,
+            return_hidden=True)
+        logits = L.lm_logits(params["decoder"], hidden[:, -1:, :])
+        return cache, logits[:, 0, :]
 
     def _first_tokens(self, rng, logits, allow=None):
         """First token after prefill, per row: (greedy, sampled) — the host

@@ -81,6 +81,15 @@ def attention(q, k, v, kv_mask=None, causal=False, q_offset=None, impl="auto",
         from bioreason_tpu.parallel.sp import sp_attention
         return sp_attention(q, k, v, kv_mask=kv_mask, causal=causal,
                             impl="pallas" if impl == "sp_pallas" else "xla")
+    if isinstance(impl, str) and impl.startswith("local:"):
+        # banded sliding-window attention for very long DNA contexts
+        # (ops/local_attention.py): O(T*W) instead of O(T^2). Opt-in
+        # accuracy trade; bidirectional encoders only.
+        if causal:
+            raise NotImplementedError("local attention is bidirectional-only")
+        from bioreason_tpu.ops.local_attention import local_attention
+        return local_attention(q, k, v, int(impl.split(":", 1)[1]),
+                               kv_mask=kv_mask)
     if k_scale is not None or v_scale is not None:
         return xla_attention(q, k, v, kv_mask=kv_mask, causal=causal,
                              q_offset=q_offset, k_scale=k_scale, v_scale=v_scale)
