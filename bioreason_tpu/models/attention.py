@@ -77,6 +77,14 @@ def attention(q, k, v, kv_mask=None, causal=False, q_offset=None, impl="auto",
 
     `k_scale`/`v_scale`: int8-KV-cache scales — forces the XLA path (the
     Pallas kernel consumes float K/V)."""
+    if isinstance(impl, str) and impl.startswith("sp_local:"):
+        # banded + sequence-parallel: window-token halo exchange instead of
+        # a full K/V all-gather (parallel/sp.py:sp_local_attention)
+        if causal:
+            raise NotImplementedError("sp_local attention is bidirectional-only")
+        from bioreason_tpu.parallel.sp import sp_local_attention
+        return sp_local_attention(q, k, v, int(impl.split(":", 1)[1]),
+                                  kv_mask=kv_mask)
     if impl in ("sp", "sp_pallas"):
         from bioreason_tpu.parallel.sp import sp_attention
         return sp_attention(q, k, v, kv_mask=kv_mask, causal=causal,

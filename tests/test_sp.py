@@ -88,6 +88,48 @@ class TestSPEncoder:
                                    atol=2e-5, rtol=2e-5)
 
 
+class TestSPLocalAttention:
+    """Banded attention composed with sequence parallelism: window-token
+    halo exchange (not a full K/V all-gather). Must equal the unsharded
+    banded kernel exactly."""
+
+    def _data(self, t, seed, hq=4, hkv=2):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((2, t, hq, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, t, hkv, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, t, hkv, 8)), jnp.float32)
+        mask = np.ones((2, t), np.int32)
+        mask[0, :5] = 0
+        return q, k, v, jnp.asarray(mask)
+
+    def test_halo_path_matches_unsharded(self, sp_mesh):
+        from bioreason_tpu.ops.local_attention import local_attention
+        from bioreason_tpu.parallel.sp import sp_local_attention
+        q, k, v, mask = self._data(32, 5)          # chunk 16, window 6 < chunk
+        want = local_attention(q, k, v, 6, kv_mask=mask, interpret=True)
+        got = sp_local_attention(q, k, v, 6, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_gather_fallback_matches(self, sp_mesh):
+        from bioreason_tpu.ops.local_attention import local_attention
+        from bioreason_tpu.parallel.sp import sp_local_attention
+        q, k, v, mask = self._data(32, 6)          # window 20 >= chunk 16
+        want = local_attention(q, k, v, 20, kv_mask=mask, interpret=True)
+        got = sp_local_attention(q, k, v, 20, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_routing_via_attention_impl(self, sp_mesh):
+        from bioreason_tpu.models.attention import attention
+        from bioreason_tpu.ops.local_attention import local_attention
+        q, k, v, mask = self._data(32, 7)
+        want = local_attention(q, k, v, 8, kv_mask=mask, interpret=True)
+        got = attention(q, k, v, kv_mask=mask, impl="sp_local:8")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
 class TestSPHyena:
     """Evo2/hyena tower sequence parallelism (parallel/sp_hyena.py): every op
     must match the unsharded operator exactly — halo-exchange convs and the
