@@ -96,9 +96,12 @@ class ContinuousBatcher:
 
         self._jit_prefill = jax.jit(self._prefill)
         self._jit_write = jax.jit(self._write_slot, donate_argnums=(0,))
-        self._jit_step = jax.jit(self._step, donate_argnums=(1,))
         self._jit_multi = {}                  # window size -> jitted multi-step
         self._jit_first = jax.jit(self._first_tokens)
+        # device-resident decode state (see _upload_state / step_window)
+        self._dev_state = None
+        self._dev_greedy = None
+        self._dev_dirty = True
 
     # -- jitted pieces ---------------------------------------------------
 
@@ -161,34 +164,6 @@ class ContinuousBatcher:
                         kv["v"].astype(pool["v"].dtype), mode="drop"),
                 })
         return out
-
-    def _step(self, params, cache, last_token, positions, cache_mask,
-              write_idx, active, greedy_row, rng, gstate=None,
-              g_next=None, g_acc=None):
-        """One decode step over ALL capacity rows (inactive rows masked).
-        Each row writes its new KV at its OWN cache column `write_idx[row]`
-        (requests sit at different depths — per-row scatter, not a uniform
-        dynamic_update_slice)."""
-        cfg = self.cfg.decoder
-        s = self.sampling
-        logits, new_kv = _decode_rows(params["decoder"], cfg, last_token[:, None],
-                                      positions[:, None], cache, cache_mask,
-                                      write_idx)
-        row_logits = logits[:, 0, :]
-        if g_next is not None:
-            # regex constraint (generate/guided.py): per-slot DFA state
-            row = g_next[gstate]
-            allow = row != self.guided.dead
-            allow = allow.at[:, self.guided.eos_token_id].set(g_acc[gstate])
-            row_logits = jnp.where(allow, row_logits,
-                                   jnp.asarray(-1e9, row_logits.dtype))
-        greedy_tok = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
-        rng, k = jax.random.split(rng)
-        sampled = sample_logits(k, row_logits, temperature=s.temperature,
-                                top_k=s.top_k, top_p=s.top_p, greedy=False)
-        tok = jnp.where(greedy_row, greedy_tok, sampled)
-        tok = jnp.where(active, tok, 0)
-        return tok, new_kv, rng
 
     def _multi_step(self, params, cache, last_token, positions, cache_mask,
                     write_idx, active, greedy_row, rng, gstate=None,
@@ -334,6 +309,7 @@ class ContinuousBatcher:
                 self.greedy_row[slot] = r.greedy
                 if tok == self.eos or len(r.tokens) >= r.max_new_tokens:
                     self._finish(slot)
+        self._dev_dirty = True
         return take
 
     @staticmethod
@@ -350,89 +326,77 @@ class ContinuousBatcher:
     def step(self) -> List[Request]:
         """Advance every active slot one token; returns requests finished
         this step. The newly decoded token is appended to each request."""
-        if not self.active.any():
-            return []
-        # register each pending token's cache column (after the bucketed
-        # prompt region; left-pad columns stay invalid forever)
-        for slot in np.nonzero(self.active)[0]:
-            if self.next_col[slot] >= self.max_len:
-                raise RuntimeError(f"slot {slot} overflow: raise max_len")
-            self.cache_mask[slot, self.next_col[slot]] = 1
-        gkw = (dict(gstate=jnp.asarray(self.gstate),
-                    g_next=self.guided.next_state, g_acc=self.guided.accepting)
-               if self.guided is not None else {})
-        tok, new_kv, self._rng = self._jit_step(
-            self.params, self.cache, jnp.asarray(self.last_token),
-            jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
-            jnp.asarray(self.next_col), jnp.asarray(self.active),
-            jnp.asarray(self.greedy_row), self._rng, **gkw)
-        self.cache = new_kv
-        tok = np.asarray(tok)
-        finished = []
-        for slot in np.nonzero(self.active)[0]:
-            req = self._by_slot[slot]
-            t = int(tok[slot])
-            if self.guided is not None:
-                self.gstate[slot] = self._g_next_np[self.gstate[slot], t]
-            req.tokens.append(t)
-            self.last_token[slot] = t
-            self.positions[slot] += 1
-            self.next_col[slot] += 1
-            if t == self.eos or len(req.tokens) >= req.max_new_tokens:
-                finished.append(req)
-                self._finish(slot)
-        return finished
+        return self.step_window(1)
+
+    def _upload_state(self):
+        """Push the host scheduling mirrors to device. Needed only when they
+        diverged from the device copies: after admissions and finishes. In
+        the steady state, decode windows chain device→device and the mirrors
+        evolve by deterministic replay — zero uploads."""
+        self._dev_state = jax.device_put(
+            (self.last_token, self.positions, self.cache_mask, self.next_col,
+             self.active, self.gstate))
+        self._dev_greedy = jax.device_put(self.greedy_row)
+        self._dev_dirty = False
 
     def step_window(self, k: int) -> List[Request]:
-        """Advance every active slot up to `k` tokens with ONE host↔device
-        round trip (see _multi_step). Falls back to single steps when a slot
-        lacks k columns of cache headroom."""
-        if k <= 1:
-            return self.step()
+        """Advance every active slot up to `k` tokens with one device call,
+        ONE device→host transfer (the [k, C] token matrix), and zero
+        device→host state syncs: decode state lives on device between
+        windows and the host mirrors advance by replaying the tokens
+        (everything but the sampled token is deterministic). Falls back to
+        single steps when a slot lacks k columns of cache headroom."""
         if not self.active.any():
             return []
-        if int(self.next_col[self.active].max()) + k > self.max_len:
+        headroom = int(self.next_col[self.active].max())
+        if headroom >= self.max_len:
+            raise RuntimeError("slot overflow: raise max_len")
+        if k > 1 and headroom + k > self.max_len:
             out = []
             for _ in range(k):
-                out.extend(self.step())
+                out.extend(self.step_window(1))
             return out
         if k not in self._jit_multi:
             import functools
+            # donate the cache AND the state tuple (all returned); greedy_row
+            # (argnum 7) is reused across calls and must survive
             self._jit_multi[k] = jax.jit(
-                functools.partial(self._multi_step, k=k), donate_argnums=(1,))
-        gkw = (dict(gstate=jnp.asarray(self.gstate),
-                    g_next=self.guided.next_state, g_acc=self.guided.accepting)
+                functools.partial(self._multi_step, k=k),
+                donate_argnums=(1, 2, 3, 4, 5, 6, 8, 9))
+        if self._dev_state is None or self._dev_dirty:
+            self._upload_state()
+        last, pos, cmask, widx, act, gst = self._dev_state
+        gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
-        carry, toks, was_active = self._jit_multi[k](
-            self.params, self.cache, jnp.asarray(self.last_token),
-            jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
-            jnp.asarray(self.next_col), jnp.asarray(self.active),
-            jnp.asarray(self.greedy_row), self._rng, **gkw)
-        (self.cache, last_token, positions, cache_mask, write_idx, active,
-         self._rng, gstate) = carry
-        # sync host mirrors BEFORE harvesting (finish() zeroes mask rows);
-        # np.array copies — np.asarray views of jax arrays are read-only
-        self.last_token = np.array(last_token)
-        self.positions = np.array(positions)
-        self.cache_mask = np.array(cache_mask)
-        self.next_col = np.array(write_idx)
-        device_active = np.array(active)
-        if self.guided is not None:
-            self.gstate = np.array(gstate)
-        toks = np.asarray(toks)
-        was = np.asarray(was_active)
+        carry, toks, _ = self._jit_multi[k](
+            self.params, self.cache, last, pos, cmask, widx, act,
+            self._dev_greedy, self._rng, gstate=gst, **gkw)
+        self.cache = carry[0]
+        self._dev_state = (carry[1], carry[2], carry[3], carry[4], carry[5],
+                           carry[7])
+        self._rng = carry[6]
+        toks = np.asarray(toks)                 # the ONE transfer
         finished = []
         for step in range(k):
-            for slot in np.nonzero(was[step])[0]:
+            act_slots = np.nonzero(self.active)[0]
+            if len(act_slots) == 0:
+                break
+            for slot in act_slots:
                 req = self._by_slot[slot]
-                if req is None or req.done:
-                    continue        # overran max_new mid-window: discard tail
                 t = int(toks[step, slot])
+                # replay the device-side per-step advance on the mirrors
+                self.cache_mask[slot, self.next_col[slot]] = 1
+                self.next_col[slot] += 1
+                self.positions[slot] += 1
+                self.last_token[slot] = t
+                if self.guided is not None:
+                    self.gstate[slot] = self._g_next_np[self.gstate[slot], t]
                 req.tokens.append(t)
                 if t == self.eos or len(req.tokens) >= req.max_new_tokens:
                     finished.append(req)
-                    self._finish(slot)
-        self.active &= device_active        # device-side EOS exits
+                    self._finish(slot)          # mirrors diverge from device
+        if finished:
+            self._dev_dirty = True
         return finished
 
     def warmup(self, prompt_widths, dna_shapes=(None,), windows=(1,)):
@@ -471,20 +435,19 @@ class ContinuousBatcher:
                     g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
         for w in windows:
-            args = (self.params, self.cache, jnp.asarray(self.last_token),
-                    jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
-                    jnp.asarray(self.next_col), jnp.asarray(self.active),
-                    jnp.asarray(self.greedy_row), self._rng)
-            if w <= 1:
-                _, self.cache, self._rng = self._jit_step(*args, **gkw)
-                continue
+            w = max(1, w)
             if w not in self._jit_multi:
                 import functools
                 self._jit_multi[w] = jax.jit(
                     functools.partial(self._multi_step, k=w),
-                    donate_argnums=(1,))
+                    donate_argnums=(1, 2, 3, 4, 5, 6, 8, 9))
+            args = (self.params, self.cache, jnp.asarray(self.last_token),
+                    jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
+                    jnp.asarray(self.next_col), jnp.asarray(self.active),
+                    jnp.asarray(self.greedy_row), self._rng)
             carry, _, _ = self._jit_multi[w](*args, **gkw)
             self.cache, self._rng = carry[0], carry[6]
+        self._dev_dirty = True
 
     def run(self, requests: List[Request], window: int = 1) -> List[Request]:
         """Convenience driver: admit-as-capacity-allows until all finish.
