@@ -128,6 +128,11 @@ class InferenceServer:
                                sampling=self.sampling,
                                guided=self._spec_for(self.guided_regex),
                                kv_int8=self.kv_int8)
+        # startup precompile: the decode window (hit immediately and shared
+        # by all requests). Admission shapes depend on request prompt widths
+        # and compile lazily; servers with a known width profile can call
+        # cb.warmup(prompt_widths=[...]) for full vLLM-style precompile.
+        cb.warmup([], windows=(self.decode_window,))
         pending: List[Any] = []
         rid = 0
         by_rid: Dict[int, Dict[str, Any]] = {}
