@@ -45,6 +45,12 @@ def main(argv=None):
                         "axis over the mesh 'model' axis (parallel/sp.py) so "
                         "long contexts scale past one device's memory; "
                         "max_length_dna must divide by the model-axis size")
+    p.add_argument("--dna_attention", default=None,
+                   help="encoder attention override: xla | pallas | sp | "
+                        "local:<W> (banded O(T*W) kernel for 100k+ contexts) "
+                        "| sp_local:<W> (banded + sequence-parallel halo "
+                        "exchange). Supersedes --sp_dna. The Evo2 tower's "
+                        "striped attention is causal: only 'sp' applies there")
     p.add_argument("--lora_r", type=int, default=32)
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--no_lora", action="store_true", help="full finetune")
@@ -115,17 +121,22 @@ def main(argv=None):
             encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
             dna_pad_token_id=tok.dna_pad_id,
             max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
-    if args.sp_dna:
+    dna_impl = args.dna_attention or ("sp" if args.sp_dna else None)
+    if dna_impl:
         import dataclasses
         if fusion_cfg.encoder_kind == "evo2":
             # hyena tower SP: halo convs + chunked-state li (parallel/sp_hyena.py)
+            if not dna_impl.startswith("sp") or dna_impl.startswith("sp_local"):
+                p.error("the Evo2 tower's striped attention is causal; "
+                        "only --dna_attention sp applies (banded kernels are "
+                        "bidirectional-only)")
             fusion_cfg = dataclasses.replace(
                 fusion_cfg, hyena=dataclasses.replace(
-                    fusion_cfg.hyena, attention_impl="sp"))
+                    fusion_cfg.hyena, attention_impl=dna_impl))
         else:
             fusion_cfg = dataclasses.replace(
                 fusion_cfg, encoder=dataclasses.replace(
-                    fusion_cfg.encoder, attention_impl="sp"))
+                    fusion_cfg.encoder, attention_impl=dna_impl))
     proc = BioProcessor(tok, dna_tok)
     train_items, val_items, test_items = load_items(
         args.dataset_type, args.data_dir, args.n_synthetic,
