@@ -27,6 +27,10 @@ def main(argv=None):
                     help="decode steps per host round trip (step_window)")
     ap.add_argument("--max_new", type=int, default=128)
     ap.add_argument("--max_len", type=int, default=640)
+    ap.add_argument("--kv", default="bfloat16", choices=["bfloat16", "int8"],
+                    help="slot-pool KV storage; int8 halves pool HBM (the "
+                         "memory lever that doubles capacity at fixed "
+                         "max_len)")
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
@@ -69,7 +73,7 @@ def main(argv=None):
 
     cb = ContinuousBatcher(
         params, cfg, eos_token_id=-1, capacity=args.capacity,
-        max_len=args.max_len, prompt_bucket=256,
+        max_len=args.max_len, prompt_bucket=256, kv_int8=(args.kv == "int8"),
         sampling=SamplingConfig(temperature=0.6, top_p=0.95, top_k=20))
     # vLLM-style startup precompile: every admission batch bucket + the
     # decode window — otherwise a first-seen batch size compiles mid-traffic
