@@ -132,6 +132,25 @@ class TestContinuousBatching:
                 assert got.tokens == want.tokens, (
                     f"window={w} rid={got.rid}: {got.tokens} != {want.tokens}")
 
+    def test_warmup_is_state_neutral(self, setup):
+        """warmup() precompiles admission buckets + decode windows via
+        drop-slot scatters and inactive-row steps; outputs afterwards must
+        be identical to a cold batcher's."""
+        cfg, params, engine = setup
+        mk = lambda: [_make_request(i, f"warm request {i}", max_new=5)
+                      for i in range(3)]
+        cold = mk()
+        ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                          capacity=2, max_len=256, prompt_bucket=64).run(
+            cold, window=3)
+        warm = mk()
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=2, max_len=256, prompt_bucket=64)
+        cb.warmup([64], dna_shapes=(None,), windows=(1, 3))
+        cb.run(warm, window=3)
+        for a, b in zip(warm, cold):
+            assert a.tokens == b.tokens
+
     def test_window_headroom_fallback(self, setup):
         """max_len too tight for a full window: falls back to single steps
         and still matches."""
