@@ -47,6 +47,29 @@ def disable_sequence_sharding() -> None:
     _STATE["axis"] = None
 
 
+class sequence_sharding:
+    """Scoped registration: activates (mesh, axis) for the dynamic extent of
+    the `with` block and restores whatever was registered before. Trainers
+    use this around trace/step sites so two trainers with different meshes
+    in one process can't silently trace against each other's mesh (the
+    failure mode of bare last-writer-wins enable_sequence_sharding)."""
+
+    def __init__(self, mesh: Optional[Mesh], axis: str = "model"):
+        if mesh is not None and axis not in mesh.axis_names:
+            raise ValueError(f"axis {axis!r} not in mesh {mesh.axis_names}")
+        self._mesh, self._axis = mesh, axis
+
+    def __enter__(self):
+        self._prev = (_STATE["mesh"], _STATE["axis"])
+        if self._mesh is not None:
+            _STATE["mesh"], _STATE["axis"] = self._mesh, self._axis
+        return self
+
+    def __exit__(self, *exc):
+        _STATE["mesh"], _STATE["axis"] = self._prev
+        return False
+
+
 def sequence_sharding_enabled() -> bool:
     return _STATE["mesh"] is not None
 

@@ -37,31 +37,56 @@ def prefetch(it: Iterator[Any], depth: int = 2) -> Iterator[Any]:
     a bounded buffer, so host-side tokenization/collation overlaps the
     device step instead of serializing with it (the torch-DataLoader
     `num_workers` role; reference train_dna_qwen.py:497 uses num_workers=4,
-    pin_memory). Exceptions re-raise at the consuming site."""
+    pin_memory). Exceptions re-raise at the consuming site. Abandoning the
+    generator early (break / close) stops the producer thread instead of
+    leaving it blocked on a full queue."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     errs: List[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for x in it:
-                q.put(x)
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:          # propagate to consumer
             errs.append(e)
         finally:
-            q.put(sentinel)
+            # deliver the sentinel even if the buffer is momentarily full;
+            # give up only once the consumer has signalled stop
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        x = q.get()
-        if x is sentinel:
-            if errs:
-                raise errs[0]
-            return
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is sentinel:
+                if errs:
+                    raise errs[0]
+                return
+            yield x
+    finally:
+        stop.set()
+        while True:                          # unblock a producer mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def repeat_random_indices(n_items: int, batch_prompts: int, num_generations: int,

@@ -46,14 +46,15 @@ class SFTTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
 
+        self._sp_mesh = None
         if (str(fusion_cfg.encoder.attention_impl).startswith("sp")
                 or (fusion_cfg.hyena is not None
                     and str(fusion_cfg.hyena.attention_impl).startswith("sp"))):
             # long-DNA sequence parallelism (parallel/sp.py + sp_hyena.py):
-            # register the mesh so encoder attention / hyena convs can
-            # shard_map over the model axis
-            from bioreason_tpu.parallel.sp import enable_sequence_sharding
-            enable_sequence_sharding(self.mesh)
+            # THIS trainer's mesh is activated only for the dynamic extent of
+            # its own step calls (parallel.sp.sequence_sharding scope), so a
+            # second trainer/mesh in the same process can't cross-trace
+            self._sp_mesh = self.mesh
 
         if params is None:
             params = init_fusion(rng, fusion_cfg)
@@ -162,11 +163,21 @@ class SFTTrainer:
             if v is None:
                 continue
             arr = np.asarray(v)
-            if k in ("dna_input_ids", "dna_attention_mask"):
+            if k == "dna_input_ids":
                 # under sequence parallelism the DNA token axis is sharded
                 # so encoder activations scale as S/n per device
                 spec = (sequence_spec() if sequence_sharding_enabled()
                         and arr.ndim == 2 else P())
+            elif k == "dna_attention_mask":
+                # REPLICATED, even under SP: the mask has two consumers with
+                # conflicting layouts (the batch-parallel splice count and
+                # the sequence-sharded attention/conv masks). Feeding it
+                # pre-sharded on the sequence axis made the GSPMD partitioner
+                # emit an involuntary-full-rematerialization transform
+                # (spmd_partitioner.cc:652); from replicated every consumer
+                # reshards with a free local slice. The mask is [rows, S]
+                # int32 — replication is noise next to the activations.
+                spec = P()
             else:
                 spec = batch_spec()
             spec = _valid_spec(spec, arr.shape, self.mesh)
@@ -175,19 +186,27 @@ class SFTTrainer:
 
     # ------------------------------------------------------------------
 
+    def _sp_scope(self):
+        from bioreason_tpu.parallel.sp import sequence_sharding
+        return sequence_sharding(self._sp_mesh)
+
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
-        db = self._device_batch(batch)
-        self._rng, step_rng = jax.random.split(self._rng)
-        self.train_leaves, self.opt_state, metrics = self._jit_step(
-            self.train_leaves, self.frozen_leaves, self.opt_state, db, step_rng)
+        with self._sp_scope():
+            db = self._device_batch(batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.train_leaves, self.opt_state, metrics = self._jit_step(
+                self.train_leaves, self.frozen_leaves, self.opt_state, db,
+                step_rng)
         self.step += 1
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["lr"] = float(self.schedule(self.step))
         return metrics
 
     def eval_step(self, batch: Dict[str, Any]) -> float:
-        db = self._device_batch(batch)
-        return float(self._jit_eval(self.train_leaves, self.frozen_leaves, db))
+        with self._sp_scope():
+            db = self._device_batch(batch)
+            return float(self._jit_eval(self.train_leaves, self.frozen_leaves,
+                                        db))
 
     @property
     def params(self) -> Dict:
