@@ -22,16 +22,26 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frozen", default="int8", choices=["bfloat16", "int8"])
     ap.add_argument("--capacity", type=int, default=64)
-    ap.add_argument("--requests", type=int, default=96)
+    ap.add_argument("--requests", type=int, default=0,
+                    help="0 = 3x capacity (keeps the pool saturated with a "
+                         "real admission queue; fewer requests than capacity "
+                         "measures a draining pool, not steady-state churn)")
     ap.add_argument("--window", type=int, default=16,
                     help="decode steps per host round trip (step_window)")
     ap.add_argument("--max_new", type=int, default=128)
-    ap.add_argument("--max_len", type=int, default=640)
+    ap.add_argument("--max_len", type=int, default=256,
+                    help="prompt-pool width (prompts here are 256 tokens)")
     ap.add_argument("--kv", default="bfloat16", choices=["bfloat16", "int8"],
-                    help="slot-pool KV storage; int8 halves pool HBM (the "
+                    help="pool KV storage; int8 halves pool HBM (the "
                          "memory lever that doubles capacity at fixed "
                          "max_len)")
+    ap.add_argument("--shared", type=int, default=1,
+                    help="requests per unique prompt (>1 exercises the "
+                         "same-batch prompt dedupe + prefix cache: GRPO-"
+                         "style G-completion serving)")
     args = ap.parse_args(argv)
+    if not args.requests:
+        args.requests = 3 * args.capacity
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
     import jax
@@ -58,11 +68,16 @@ def main(argv=None):
         params = quantize_frozen_int8(params, include_embed=True)
 
     npr = np.random.default_rng(0)
+    prompts = {}
 
     def make_request(rid, max_new):
-        ids = npr.integers(0, 150000, (1, P_TEXT)).astype(np.int32)
-        ids[0, 1:1 + L_DNA] = cfg.dna_pad_token_id
-        dna = npr.integers(6, 4102, (1, L_DNA)).astype(np.int32)
+        uid = rid // args.shared        # --shared N: N requests per prompt
+        if uid not in prompts:
+            ids = npr.integers(0, 150000, (1, P_TEXT)).astype(np.int32)
+            ids[0, 1:1 + L_DNA] = cfg.dna_pad_token_id
+            dna = npr.integers(6, 4102, (1, L_DNA)).astype(np.int32)
+            prompts[uid] = (ids, dna)
+        ids, dna = prompts[uid]
         return Request(rid, ids, np.ones((1, P_TEXT), np.int32),
                        dna, np.ones((1, L_DNA), np.int32),
                        max_new_tokens=max_new)
@@ -73,22 +88,37 @@ def main(argv=None):
 
     cb = ContinuousBatcher(
         params, cfg, eos_token_id=-1, capacity=args.capacity,
-        max_len=args.max_len, prompt_bucket=256, kv_int8=(args.kv == "int8"),
+        max_len=args.max_len, max_new=args.max_new, prompt_bucket=256,
+        kv_int8=(args.kv == "int8"), prefix_cache=(args.shared > 1),
         sampling=SamplingConfig(temperature=0.6, top_p=0.95, top_k=20))
     # vLLM-style startup precompile: every admission batch bucket + the
     # decode window — otherwise a first-seen batch size compiles mid-traffic
     cb.warmup([P_TEXT], dna_shapes=((1, L_DNA),), windows=(args.window,))
 
+    import sys
+    phase = {"admit": 0.0, "decode": 0.0}
+
     def run():
         reqs = [make_request(i, lengths[i % len(lengths)])
                 for i in range(args.requests)]
-        done = cb.run(reqs, window=args.window)
+        pending, done = list(reqs), []
+        while pending or cb.active.any():
+            t = time.perf_counter()
+            done.extend(r for r in cb.admit_many(pending) if r.done)
+            jax.block_until_ready(cb.prompt_pool[0]["k"])
+            phase["admit"] += time.perf_counter() - t
+            t = time.perf_counter()
+            done.extend(cb.step_window(args.window))
+            phase["decode"] += time.perf_counter() - t
         return sum(len(r.tokens) for r in done)
 
     run()                                    # residual warm (first-token path)
+    phase["admit"] = phase["decode"] = 0.0
     t0 = time.perf_counter()
     total = run() + run()
     dt = time.perf_counter() - t0
+    print(f"phase split: admit {phase['admit']:.2f}s "
+          f"decode {phase['decode']:.2f}s of {dt:.2f}s", file=sys.stderr)
 
     tokens_per_sec = total / dt
     print(json.dumps({

@@ -1,27 +1,41 @@
 """Continuous batching: vLLM-style slot scheduler over the jitted decoder.
 
 The reference planned vLLM for serving/rollout (grpo_config.py:230-281,
-demo_grpo.py:366-425: dedicated engine, paged KV, continuous admission).
-The TPU equivalent here keeps XLA happy with STATIC shapes:
+demo_grpo.py:366-425: dedicated engine, paged KV, continuous admission,
+prefix caching, recompute preemption). The TPU equivalent here keeps XLA
+happy with STATIC shapes:
 
-  * a fixed pool of C slots, each owning a row of the per-layer KV cache
-    [C, S_max, Hkv, D] plus host-tracked (prompt_len, generated, done);
-  * ONE jitted decode step advances every active slot together — new
-    requests join at token boundaries without recompiling (capacity and
-    cache length are static; activity is data, carried in masks);
-  * admission prefills a single request (shape-bucketed jit per prompt
-    length) and writes its prompt KV into the free slot row with
-    `dynamic_update_slice` — the TPU stand-in for paged-attention block
-    tables, which buy nothing here because slots are fixed-width;
-  * finished rows are harvested and their slots reused immediately.
-
-Throughput model: decode cost per step is ~constant in the number of ACTIVE
-slots (weights-bandwidth-bound), so admitting mid-flight requests rides for
-free until C is saturated — the property continuous batching exists for.
+  * a fixed pool of C slots; new requests join at token boundaries without
+    recompiling (capacity and cache lengths are static; activity is data,
+    carried in masks);
+  * the KV state is SPLIT into three tiers by write frequency — the design
+    that keeps every hot buffer out of the decode scan's carry:
+      - PROMPT pool [C, P_max]: written once at admission, READ-ONLY during
+        decode windows (a plain closed-over input — XLA never copies it);
+      - DECODE pool [C, N_max]: tokens from PREVIOUS windows; read-only
+        in-scan, written by ONE batched per-row scatter per window;
+      - WINDOW buffer [C, k]: this window's tokens — the only KV carried
+        through the scan, ~1% the pool size (a [C,S] monolithic pool carried
+        through lax.scan double-buffers multi-GB per step; this was the
+        measured 5x gap between the slot scheduler and the static engine);
+  * decode attention is one merged softmax over the three tiers (grouped
+    GQA einsums, no materialized K/V repeat), per-row depth differences are
+    masks, not copies — the fixed-width stand-in for paged attention;
+  * admission prefills shape-bucketed request groups as ONE jitted call;
+    identical prompts inside a group prefill ONCE and fan out by row-scatter
+    (the same-step analogue of prefix caching);
+  * cross-request prefix caching (vllm_enable_prefix_caching,
+    grpo_config.py:252-258): finished slots RETAIN their prompt KV keyed by
+    prompt content; an exact-match admission skips prefill entirely and
+    resamples its first token from the stored last hidden state;
+  * recompute preemption (the vLLM eviction story): `preempt(slot)` returns
+    a continuation request whose prompt is original-prompt + generated
+    tokens — re-admission re-prefills and continues the same trajectory.
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import List, Optional
 
 import jax
@@ -30,7 +44,7 @@ import numpy as np
 
 from bioreason_tpu.config import FusionConfig, SamplingConfig
 from bioreason_tpu.models.fusion import fused_input_embeddings
-from bioreason_tpu.models.qwen3 import decoder_forward, init_cache
+from bioreason_tpu.models.qwen3 import decoder_forward, init_cache, _kv_quantize, _mlp
 from bioreason_tpu.models import layers as L
 from bioreason_tpu.ops.sampling import sample_logits
 
@@ -54,25 +68,38 @@ class Request:
         self.slot = -1
         self.prompt_len = int(self.attention_mask.sum())
 
+    def cache_key(self) -> bytes:
+        """Prompt-content key for prefix caching (ids + mask + DNA)."""
+        parts = [self.input_ids.tobytes(), self.attention_mask.tobytes()]
+        if self.dna_input_ids is not None:
+            parts.append(np.asarray(self.dna_input_ids).tobytes())
+            parts.append(np.asarray(self.dna_attention_mask).tobytes())
+        return b"|".join(parts)
+
 
 class ContinuousBatcher:
-    """Slot-scheduled generation over a shared static KV pool."""
+    """Slot-scheduled generation over split static KV pools."""
 
     def __init__(self, params, fusion_cfg: FusionConfig, eos_token_id: int,
                  capacity: int = 8, max_len: int = 2048,
                  sampling: SamplingConfig = SamplingConfig(),
-                 prompt_bucket: int = 128, guided=None, kv_int8: bool = False):
-        """`guided`: optional guided.GuidedSpec applied to EVERY request
+                 prompt_bucket: int = 128, guided=None, kv_int8: bool = False,
+                 max_new: int = 256, prefix_cache: bool = False):
+        """`max_len`: prompt-pool width P_max (longest admissible prompt).
+        `max_new`: decode-pool depth N_max (longest admissible completion).
+        `guided`: optional guided.GuidedSpec applied to EVERY request
         (batcher-level, like vLLM's engine-level guided decoding params);
         each slot tracks its own DFA state, reset on admission.
-
-        `kv_int8`: int8 slot-pool KV storage with per-(token,head) scales —
-        halves pool HBM (2x the slots at fixed memory) and cache bandwidth."""
+        `kv_int8`: int8 prompt/decode pools with per-(token,head) scales —
+        halves pool HBM (2x the slots at fixed memory) and cache bandwidth.
+        `prefix_cache`: retain finished slots' prompt KV keyed by prompt
+        content; identical re-admissions skip prefill."""
         self.params = params
         self.cfg = fusion_cfg
         self.eos = eos_token_id
         self.capacity = capacity
         self.max_len = max_len
+        self.max_new = max_new
         self.sampling = sampling
         self.prompt_bucket = prompt_bucket
         self.guided = guided
@@ -83,16 +110,33 @@ class ContinuousBatcher:
         dec = fusion_cfg.decoder
         dtype = jnp.dtype(dec.dtype)
         self.kv_int8 = kv_int8
-        self.cache = init_cache(dec, capacity, max_len, dtype, quantize=kv_int8)
-        # host-visible slot state (mirrored into device masks each step)
-        self.cache_mask = np.zeros((capacity, max_len), np.int32)
+        self.prompt_pool = init_cache(dec, capacity, max_len, dtype,
+                                      quantize=kv_int8)
+        self.dec_pool = init_cache(dec, capacity, max_new, dtype,
+                                   quantize=kv_int8)
+        # host-visible slot state (device copies are authoritative between
+        # windows; mirrors advance by deterministic replay)
+        self.prompt_mask = np.zeros((capacity, max_len), np.int32)
         self.positions = np.zeros((capacity,), np.int32)   # next ROPE position
-        self.next_col = np.zeros((capacity,), np.int32)    # next free cache column
+        self.dec_len = np.zeros((capacity,), np.int32)     # decode-pool depth
         self.last_token = np.zeros((capacity,), np.int32)
         self.active = np.zeros((capacity,), bool)
         self.greedy_row = np.zeros((capacity,), bool)
         self._by_slot: List[Optional[Request]] = [None] * capacity
         self._rng = jax.random.PRNGKey(0)
+
+        self.prefix_cache = prefix_cache
+        self._retained: "OrderedDict[bytes, tuple]" = OrderedDict()
+        self._slot_key: List[Optional[bytes]] = [None] * capacity
+        if prefix_cache:
+            self._last_hidden = jnp.zeros(
+                (capacity + 1, dec.hidden_size), dtype)
+            self._jit_keep_hidden = jax.jit(
+                lambda buf, h, slots: buf.at[slots].set(
+                    h.astype(buf.dtype), mode="drop"),
+                donate_argnums=(0,))
+            self._jit_reuse_first = jax.jit(self._reuse_first)
+        self.prefill_calls = 0                 # observability + cache tests
 
         self._jit_prefill = jax.jit(self._prefill)
         self._jit_write = jax.jit(self._write_slot, donate_argnums=(0,))
@@ -107,7 +151,7 @@ class ContinuousBatcher:
 
     def _prefill(self, params, input_ids, attention_mask, dna_ids, dna_mask):
         """A batch of prompts -> (per-layer prompt KV [K,P,..], last logits
-        [K,V]). K>1 = grouped admission (admit_many)."""
+        [K,V], last hidden [K,H]). K>1 = grouped admission (admit_many)."""
         cfg = self.cfg.decoder
         embeds = fused_input_embeddings(params, self.cfg, input_ids,
                                         dna_ids, dna_mask)
@@ -122,8 +166,9 @@ class ContinuousBatcher:
             positions=L.positions_from_mask(attention_mask),
             cache=cache, cache_index=0, cache_mask=attention_mask,
             return_hidden=True)
-        logits = L.lm_logits(params["decoder"], hidden[:, -1:, :])
-        return cache, logits[:, 0, :]
+        last_h = hidden[:, -1, :]
+        logits = L.lm_logits(params["decoder"], last_h[:, None, :])
+        return cache, logits[:, 0, :], last_h
 
     def _first_tokens(self, rng, logits, allow=None):
         """First token after prefill, per row: (greedy, sampled) — the host
@@ -136,61 +181,149 @@ class ContinuousBatcher:
                                 top_k=s.top_k, top_p=s.top_p, greedy=False)
         return greedy, sampled
 
-    def _write_slot(self, cache, slot_kv, slots: jnp.ndarray):
-        """Scatter a prefilled [K,P] KV batch into rows `slots` of the pool
-        at offset 0 (quantizing on the way in when the pool is int8).
-        Out-of-range slots (admission batch padding) are dropped."""
-        from bioreason_tpu.models.qwen3 import _kv_quantize
+    def _reuse_first(self, rng, params, hidden, allow=None):
+        """Prefix-cache hit: recompute last-position logits from the stored
+        hidden state ([1,H]) and sample the first token — no prefill."""
+        logits = L.lm_logits(params["decoder"], hidden[:, None, :])[:, 0, :]
+        return self._first_tokens(rng, logits, allow)
+
+    def _write_slot(self, pool, slot_kv, slots: jnp.ndarray):
+        """Scatter a prefilled [K,P] KV batch into rows `slots` of the
+        prompt pool at offset 0 (quantizing on the way in when the pool is
+        int8). Out-of-range slots (admission batch padding) are dropped.
+        `slots` may repeat a source row (same-batch prompt dedupe fans one
+        prefilled row out to several slots via a prior host-side gather)."""
         slots = jnp.atleast_1d(slots)
         out = []
-        for pool, kv in zip(cache, slot_kv):
+        for dst, kv in zip(pool, slot_kv):
             p = kv["k"].shape[1]
             if self.kv_int8:
                 qk, sk = _kv_quantize(kv["k"])
                 qv, sv = _kv_quantize(kv["v"])
                 out.append({
-                    "k": pool["k"].at[slots, :p].set(qk, mode="drop"),
-                    "v": pool["v"].at[slots, :p].set(qv, mode="drop"),
-                    "k_scale": pool["k_scale"].at[slots, :p].set(
-                        sk.astype(pool["k_scale"].dtype), mode="drop"),
-                    "v_scale": pool["v_scale"].at[slots, :p].set(
-                        sv.astype(pool["v_scale"].dtype), mode="drop"),
+                    "k": dst["k"].at[slots, :p].set(qk, mode="drop"),
+                    "v": dst["v"].at[slots, :p].set(qv, mode="drop"),
+                    "k_scale": dst["k_scale"].at[slots, :p].set(
+                        sk.astype(dst["k_scale"].dtype), mode="drop"),
+                    "v_scale": dst["v_scale"].at[slots, :p].set(
+                        sv.astype(dst["v_scale"].dtype), mode="drop"),
                 })
             else:
                 out.append({
-                    "k": pool["k"].at[slots, :p].set(
-                        kv["k"].astype(pool["k"].dtype), mode="drop"),
-                    "v": pool["v"].at[slots, :p].set(
-                        kv["v"].astype(pool["v"].dtype), mode="drop"),
+                    "k": dst["k"].at[slots, :p].set(
+                        kv["k"].astype(dst["k"].dtype), mode="drop"),
+                    "v": dst["v"].at[slots, :p].set(
+                        kv["v"].astype(dst["v"].dtype), mode="drop"),
                 })
         return out
 
-    def _multi_step(self, params, cache, last_token, positions, cache_mask,
-                    write_idx, active, greedy_row, rng, gstate=None,
-                    g_next=None, g_acc=None, *, k: int):
-        """`k` decode steps fully on device (lax.scan): host↔device sync
-        drops from per-token to per-window — the scheduling RPC overhead
-        amortizes over k tokens (through the axon tunnel it otherwise
-        dominates the ~5 ms decode step). Rows that hit EOS mid-window go
-        inactive ON DEVICE (no wasted compute or cache pollution); rows that
-        exceed their max_new_tokens keep decoding until the window ends and
-        the host discards the overrun (bounded by k-1 tokens)."""
+    # -- the decode window (the hot loop) ---------------------------------
+
+    def _slot_attention(self, q, pe, pmask, de, dmask, wk, wv, wmask):
+        """One decode step's attention for C rows at mixed depths: merged
+        softmax over the three KV tiers (prompt pool / decode pool / window
+        buffer). q [C,1,Hq,D]; masks [C,*]. Grouped GQA einsums — K/V are
+        never expanded to Hq heads; int8 tiers apply their scales to the
+        logits/probs (exact), never materializing a dequantized copy."""
+        c, _, hq, d = q.shape
+        hkv = pe["k"].shape[2]
+        gr = hq // hkv
+        scale = d ** -0.5
+        neg = jnp.finfo(jnp.float32).min
+        qg = q.reshape(c, hkv, gr, d)
+
+        def logits_block(kb, ks, mb):
+            l = jnp.einsum("bhrd,bnhd->bhrn", qg, kb.astype(q.dtype),
+                           preferred_element_type=jnp.float32) * scale
+            if ks is not None:
+                l = l * jnp.transpose(ks[..., 0], (0, 2, 1))[:, :, None, :]
+            return jnp.where(mb[:, None, None, :].astype(bool), l, neg)
+
+        lp = logits_block(pe["k"], pe.get("k_scale"), pmask)
+        ld = logits_block(de["k"], de.get("k_scale"), dmask)
+        lw = logits_block(wk, None, wmask)
+        p_len, n_len = lp.shape[-1], ld.shape[-1]
+        probs = jax.nn.softmax(jnp.concatenate([lp, ld, lw], axis=-1), axis=-1)
+        pp = probs[..., :p_len]
+        pd = probs[..., p_len:p_len + n_len]
+        pw = probs[..., p_len + n_len:]
+        if "v_scale" in pe:
+            pp = pp * jnp.transpose(pe["v_scale"][..., 0], (0, 2, 1))[:, :, None, :]
+        if "v_scale" in de:
+            pd = pd * jnp.transpose(de["v_scale"][..., 0], (0, 2, 1))[:, :, None, :]
+        out = (jnp.einsum("bhrn,bnhd->bhrd", pp.astype(q.dtype),
+                          pe["v"].astype(q.dtype))
+               + jnp.einsum("bhrn,bnhd->bhrd", pd.astype(q.dtype),
+                            de["v"].astype(q.dtype))
+               + jnp.einsum("bhrn,bnhd->bhrd", pw.astype(q.dtype),
+                            wv.astype(q.dtype)))
+        return out.reshape(c, 1, hq, d)
+
+    def _multi_step(self, params, prompt_pool, dec_pool, prompt_mask,
+                    last_token, positions, dec_len, active, greedy_row, rng,
+                    gstate, g_next=None, g_acc=None, *, k: int):
+        """`k` decode steps fully on device: host<->device sync drops from
+        per-token to per-window. The scan carries ONLY this window's K/V
+        ([C,k] per layer) plus scalar-per-row state; the prompt pool is a
+        read-only input and the decode pool is written by one batched
+        scatter AFTER the scan — no multi-GB buffer rides the scan carry.
+        Rows that hit EOS mid-window go inactive ON DEVICE; rows that exceed
+        their max_new_tokens keep decoding until the window ends and the
+        host discards the overrun (bounded by k-1 tokens; overflow writes
+        drop)."""
         cfg = self.cfg.decoder
         s = self.sampling
-        rows = jnp.arange(self.capacity)
+        dtype = jnp.dtype(cfg.dtype)
         guided = g_next is not None
+        c = self.capacity
+        hkv, d = cfg.num_kv_heads, cfg.head_dim
 
-        def body(carry, _):
-            (cache, last_token, positions, cache_mask, write_idx, active,
-             rng, gstate) = carry
+        # decode-history validity is FIXED for the whole window: this
+        # window's tokens live in the window buffer, not the decode pool
+        dec_hist_mask = (jnp.arange(self.max_new)[None, :]
+                         < dec_len[:, None]).astype(jnp.int32)
+        win_kv = [(jnp.zeros((c, k, hkv, d), dtype),
+                   jnp.zeros((c, k, hkv, d), dtype))
+                  for _ in range(cfg.num_layers)]
+        win_mask = jnp.zeros((c, k), jnp.int32)
+
+        def body(carry, step_idx):
+            (win_kv, win_mask, last_token, positions, active, rng,
+             gstate) = carry
             was_active = active
-            cur = cache_mask[rows, write_idx]
-            cache_mask = cache_mask.at[rows, write_idx].set(
-                jnp.where(active, 1, cur))
-            logits, cache = _decode_rows(
-                params["decoder"], cfg, last_token[:, None],
-                positions[:, None], cache, cache_mask, write_idx)
-            row_logits = logits[:, 0, :]
+            win_mask = jax.lax.dynamic_update_slice(
+                win_mask, was_active[:, None].astype(jnp.int32), (0, step_idx))
+
+            h = L.embed(params["decoder"]["embed"], last_token[:, None], dtype)
+            pos = positions[:, None]
+            new_win = []
+            for i in range(cfg.num_layers):
+                lp = jax.tree.map(lambda x: x[i], params["decoder"]["layers"])
+                x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
+                q = L.dense(lp["attn"]["q"], x, dtype).reshape(
+                    c, 1, cfg.num_heads, cfg.head_dim)
+                kk = L.dense(lp["attn"]["k"], x, dtype).reshape(c, 1, hkv, d)
+                vv = L.dense(lp["attn"]["v"], x, dtype).reshape(c, 1, hkv, d)
+                q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
+                kk = L.rmsnorm(lp["attn"]["k_norm"], kk, cfg.rms_norm_eps)
+                q = L.apply_rope(q, pos, cfg.rope_theta)
+                kk = L.apply_rope(kk, pos, cfg.rope_theta)
+
+                wk, wv = win_kv[i]
+                wk = jax.lax.dynamic_update_slice(wk, kk, (0, step_idx, 0, 0))
+                wv = jax.lax.dynamic_update_slice(wv, vv, (0, step_idx, 0, 0))
+                new_win.append((wk, wv))
+
+                a = self._slot_attention(q, prompt_pool[i], prompt_mask,
+                                         dec_pool[i], dec_hist_mask,
+                                         wk, wv, win_mask)
+                h = h + L.dense(lp["attn"]["o"], a.reshape(c, 1, -1), dtype)
+                x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
+                h = h + _mlp(lp, cfg, x, dtype)
+            win_kv = new_win
+
+            h = L.rmsnorm(params["decoder"]["final_norm"], h, cfg.rms_norm_eps)
+            row_logits = L.lm_logits(params["decoder"], h)[:, 0, :]
             if guided:
                 row = g_next[gstate]
                 allow = row != self.guided.dead
@@ -198,24 +331,55 @@ class ContinuousBatcher:
                 row_logits = jnp.where(allow, row_logits,
                                        jnp.asarray(-1e9, row_logits.dtype))
             greedy_tok = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
-            rng, kk = jax.random.split(rng)
-            sampled = sample_logits(kk, row_logits, temperature=s.temperature,
+            rng, kk2 = jax.random.split(rng)
+            sampled = sample_logits(kk2, row_logits, temperature=s.temperature,
                                     top_k=s.top_k, top_p=s.top_p, greedy=False)
             tok = jnp.where(greedy_row, greedy_tok, sampled)
             tok = jnp.where(was_active, tok, 0)
             if guided:
                 gstate = jnp.where(was_active, g_next[gstate, tok], gstate)
             positions = positions + was_active.astype(positions.dtype)
-            write_idx = write_idx + was_active.astype(write_idx.dtype)
             last_token = jnp.where(was_active, tok, last_token)
             active = active & (tok != self.eos)
-            return ((cache, last_token, positions, cache_mask, write_idx,
-                     active, rng, gstate), (tok, was_active))
+            return ((win_kv, win_mask, last_token, positions, active, rng,
+                     gstate), (tok, was_active))
 
-        init = (cache, last_token, positions, cache_mask, write_idx, active,
-                rng, gstate if guided else jnp.zeros_like(last_token))
-        carry, (toks, was_active) = jax.lax.scan(body, init, None, length=k)
-        return carry, toks, was_active
+        init = (win_kv, win_mask, last_token, positions, active, rng,
+                gstate if guided else jnp.zeros_like(last_token))
+        carry, (toks, was_active) = jax.lax.scan(
+            body, init, jnp.arange(k))
+        win_kv, win_mask, last_token, positions, active, rng, gstate = carry
+
+        # fold the window into the decode pool: one batched per-row scatter
+        # per layer per WINDOW (donated pool -> in-place). Garbage columns
+        # (post-EOS steps) land beyond each row's final dec_len and stay
+        # masked; columns past N_max drop.
+        rows = jnp.arange(c)[:, None]
+        cols = dec_len[:, None] + jnp.arange(k)[None, :]
+        cols = jnp.where(cols < self.max_new, cols, self.max_new)  # drop row
+        new_pool = []
+        for entry, (wk, wv) in zip(dec_pool, win_kv):
+            if self.kv_int8:
+                qk, sk = _kv_quantize(wk)
+                qv, sv = _kv_quantize(wv)
+                new_pool.append({
+                    "k": entry["k"].at[rows, cols].set(qk, mode="drop"),
+                    "v": entry["v"].at[rows, cols].set(qv, mode="drop"),
+                    "k_scale": entry["k_scale"].at[rows, cols].set(
+                        sk.astype(entry["k_scale"].dtype), mode="drop"),
+                    "v_scale": entry["v_scale"].at[rows, cols].set(
+                        sv.astype(entry["v_scale"].dtype), mode="drop"),
+                })
+            else:
+                new_pool.append({
+                    "k": entry["k"].at[rows, cols].set(
+                        wk.astype(entry["k"].dtype), mode="drop"),
+                    "v": entry["v"].at[rows, cols].set(
+                        wv.astype(entry["v"].dtype), mode="drop"),
+                })
+        dec_len = dec_len + jnp.sum(was_active.astype(jnp.int32), axis=0)
+        return (new_pool, last_token, positions, dec_len, active, rng,
+                gstate), toks
 
     # -- host scheduling -------------------------------------------------
 
@@ -235,82 +399,196 @@ class ContinuousBatcher:
             p *= 2
         return p
 
+    def _free_slots(self) -> List[int]:
+        """Free slots ordered so prefix-cache retained rows are used LAST
+        (and evicted LRU-first when they must be)."""
+        free = [int(i) for i in np.nonzero(~self.active)[0]]
+        if not self.prefix_cache:
+            return free
+        plain = [i for i in free if self._slot_key[i] is None]
+        lru = [s for key, (s, _w) in self._retained.items() if s in free]
+        return plain + lru
+
+    def _evict_retained(self, slot: int):
+        key = self._slot_key[slot]
+        if key is not None:
+            self._retained.pop(key, None)
+            self._slot_key[slot] = None
+
+    def _install(self, req: Request, slot: int, first_tok: int,
+                 mask_row: np.ndarray, width: int, g_base: int = 0):
+        """Common slot bookkeeping after the first token is chosen."""
+        if self.guided is not None:
+            self.gstate[slot] = self._g_next_np[g_base, first_tok]
+        req.slot = slot
+        req.tokens.append(first_tok)
+        self._by_slot[slot] = req
+        self.prompt_mask[slot] = 0
+        self.prompt_mask[slot, :width] = mask_row
+        self.positions[slot] = req.prompt_len      # next ROPE position
+        self.dec_len[slot] = 0
+        self.last_token[slot] = first_tok
+        self.active[slot] = True
+        self.greedy_row[slot] = req.greedy
+        if self.prefix_cache:
+            self._evict_retained(slot)
+            self._slot_key[slot] = None
+        if first_tok == self.eos or len(req.tokens) >= req.max_new_tokens:
+            self._finish(slot)
+
     def admit_many(self, pending: List[Request]) -> List[Request]:
         """Admit from the FRONT of `pending` (popping admitted requests)
         until capacity is full. Requests with the same (prompt bucket, DNA
         shape) prefill as ONE batched jitted call with one slot-pool scatter
-        and one first-token sample — per-request admission cost collapses
-        from several host↔device round trips to a few per shape group.
-        Group batch sizes pad to powers of two (bounded compile count);
-        padded rows scatter to an out-of-range slot with mode='drop'."""
-        free = list(np.nonzero(~self.active)[0])
+        and one first-token sample; IDENTICAL prompts within a group prefill
+        once and fan out by row-scatter. Group batch sizes pad to powers of
+        two (bounded compile count); padded rows scatter to an out-of-range
+        slot with mode='drop'. Prefix-cache hits skip prefill entirely."""
+        free = self._free_slots()
         take = pending[:len(free)]
         if not take:
             return []
         del pending[:len(take)]
-        groups: dict = {}
+
+        to_prefill = []
         for r in take:
+            if r.max_new_tokens > self.max_new:
+                raise ValueError(f"max_new_tokens {r.max_new_tokens} exceeds "
+                                 f"decode-pool depth {self.max_new}")
+            if self.prefix_cache and self._try_reuse(r, free):
+                continue
+            to_prefill.append(r)
+
+        groups: dict = {}
+        for r in to_prefill:
             width = self._bucketed(self.input_width(r))
             if width > self.max_len:
                 raise ValueError(
-                    f"prompt {width} exceeds slot length {self.max_len}")
+                    f"prompt {width} exceeds prompt-pool width {self.max_len}")
             dshape = (None if r.dna_input_ids is None
                       else tuple(np.asarray(r.dna_input_ids).shape))
             groups.setdefault((width, dshape), []).append(r)
 
         for (width, dshape), reqs in groups.items():
-            k = len(reqs)
-            kp = self._pow2_bucket(k)
-            ids = np.zeros((kp, width), np.int32)
-            mask = np.zeros((kp, width), np.int32)
-            for i, r in enumerate(reqs):
-                n = r.input_ids.shape[-1]
-                ids[i, width - n:] = r.input_ids.reshape(-1)     # left pad
-                mask[i, width - n:] = r.attention_mask.reshape(-1)
-            if dshape is None:
-                dna = dmask = None
-            else:
-                rows, ldna = dshape
-                dna = np.zeros((kp * rows, ldna), np.int32)
-                dmask = np.zeros((kp * rows, ldna), np.int32)
-                for i, r in enumerate(reqs):
-                    dna[i * rows:(i + 1) * rows] = np.asarray(r.dna_input_ids)
-                    dmask[i * rows:(i + 1) * rows] = np.asarray(
-                        r.dna_attention_mask)
-                dna, dmask = jnp.asarray(dna), jnp.asarray(dmask)
-            kv, last_logits = self._jit_prefill(
-                self.params, jnp.asarray(ids), jnp.asarray(mask), dna, dmask)
-            slots = np.full((kp,), self.capacity, np.int32)  # pad rows: drop
-            slots[:k] = free[:k]
-            free = free[k:]
-            self.cache = self._jit_write(self.cache, kv, jnp.asarray(slots))
-            allow = None
-            if self.guided is not None:
-                allow_np = self._g_next_np[0] != self.guided.dead
-                allow_np[self.guided.eos_token_id] = bool(self._g_acc_np[0])
-                allow = jnp.asarray(allow_np)
-            self._rng, rk = jax.random.split(self._rng)
-            greedy_toks, sampled = self._jit_first(rk, last_logits, allow)
-            greedy_toks, sampled = np.asarray(greedy_toks), np.asarray(sampled)
-            for i, r in enumerate(reqs):
-                slot = int(slots[i])
-                tok = int(greedy_toks[i] if r.greedy else sampled[i])
-                if self.guided is not None:
-                    self.gstate[slot] = self._g_next_np[0, tok]
-                r.slot = slot
-                r.tokens.append(tok)
-                self._by_slot[slot] = r
-                self.cache_mask[slot] = 0
-                self.cache_mask[slot, :width] = mask[i]
-                self.positions[slot] = r.prompt_len      # next ROPE position
-                self.next_col[slot] = width              # decode appends here
-                self.last_token[slot] = tok
-                self.active[slot] = True
-                self.greedy_row[slot] = r.greedy
-                if tok == self.eos or len(r.tokens) >= r.max_new_tokens:
-                    self._finish(slot)
+            # same-batch prompt dedupe over the WHOLE group: identical
+            # (ids, mask, dna) rows prefill once; src[j] maps request j ->
+            # its unique prefill row
+            uniq: "OrderedDict[bytes, int]" = OrderedDict()
+            src = []
+            for r in reqs:
+                key = r.cache_key()
+                if key not in uniq:
+                    uniq[key] = len(uniq)
+                src.append(uniq[key])
+            uniq_reqs = [None] * len(uniq)
+            for r, j in zip(reqs, src):
+                if uniq_reqs[j] is None:
+                    uniq_reqs[j] = r
+
+            # chunk the UNIQUE prompts into decreasing exact power-of-two
+            # prefill pieces (96 -> 64+32): zero pad-row waste (a 96-row
+            # prefill padded to 128 wastes 25% of the prefill FLOPs — the
+            # dominant serving cost at prompt-heavy ratios) while every
+            # chunk shape is already warm from warmup()'s pow2 ladder
+            start = 0
+            while start < len(uniq_reqs):
+                rem = len(uniq_reqs) - start
+                kp = self._pow2_bucket(rem)
+                if kp > rem:
+                    kp //= 2
+                chunk = uniq_reqs[start:start + kp]
+                chunk_req = [j for j, s in enumerate(src)
+                             if start <= s < start + kp]
+                self._admit_chunk(chunk, [(reqs[j], src[j] - start)
+                                          for j in chunk_req],
+                                  width, dshape, free)
+                start += kp
         self._dev_dirty = True
         return take
+
+    def _admit_chunk(self, uniq_reqs, req_src, width, dshape,
+                     free: List[int]):
+        """Prefill `uniq_reqs` (len = exact pow2) and install every
+        (request, unique-row-index) in `req_src` into slots popped from
+        `free` (fan-out by row gather; pow2-padded write scatter)."""
+        kp = len(uniq_reqs)
+        ids = np.zeros((kp, width), np.int32)
+        mask = np.zeros((kp, width), np.int32)
+        for i, r in enumerate(uniq_reqs):
+            n = r.input_ids.shape[-1]
+            ids[i, width - n:] = r.input_ids.reshape(-1)     # left pad
+            mask[i, width - n:] = r.attention_mask.reshape(-1)
+        if dshape is None:
+            dna = dmask = None
+        else:
+            rows, ldna = dshape
+            dna = np.zeros((kp * rows, ldna), np.int32)
+            dmask = np.zeros((kp * rows, ldna), np.int32)
+            for i, r in enumerate(uniq_reqs):
+                dna[i * rows:(i + 1) * rows] = np.asarray(r.dna_input_ids)
+                dmask[i * rows:(i + 1) * rows] = np.asarray(
+                    r.dna_attention_mask)
+            dna, dmask = jnp.asarray(dna), jnp.asarray(dmask)
+        kv, last_logits, last_h = self._jit_prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), dna, dmask)
+        self.prefill_calls += 1
+
+        n_req = len(req_src)
+        np_ = self._pow2_bucket(n_req)
+        gather = np.zeros((np_,), np.int32)
+        gather[:n_req] = [s for _, s in req_src]
+        slots = np.full((np_,), self.capacity, np.int32)      # pad rows: drop
+        slots[:n_req] = free[:n_req]
+        del free[:n_req]
+        kv_fanned = jax.tree.map(lambda x: x[jnp.asarray(gather)], kv)
+        self.prompt_pool = self._jit_write(self.prompt_pool, kv_fanned,
+                                           jnp.asarray(slots))
+        if self.prefix_cache:
+            self._last_hidden = self._jit_keep_hidden(
+                self._last_hidden, last_h[jnp.asarray(gather)],
+                jnp.asarray(slots))
+        allow = None
+        if self.guided is not None:
+            allow_np = self._g_next_np[0] != self.guided.dead
+            allow_np[self.guided.eos_token_id] = bool(self._g_acc_np[0])
+            allow = jnp.asarray(allow_np)
+        self._rng, rk = jax.random.split(self._rng)
+        greedy_toks, sampled = self._jit_first(
+            rk, last_logits[jnp.asarray(gather)], allow)
+        greedy_toks, sampled = np.asarray(greedy_toks), np.asarray(sampled)
+        for i, (r, s) in enumerate(req_src):
+            tok = int(greedy_toks[i] if r.greedy else sampled[i])
+            self._install(r, int(slots[i]), tok, mask[s, :width], width)
+
+    def _try_reuse(self, req: Request, free: List[int]) -> bool:
+        """Prefix-cache hit path: an exact-prompt match against a retained
+        slot skips prefill — first token resamples from the stored last
+        hidden state, all KV already in the prompt pool."""
+        key = req.cache_key()
+        hit = self._retained.get(key)
+        if hit is None:
+            return False
+        slot, width = hit
+        if slot not in free:                     # row was reused meanwhile
+            return False
+        free.remove(slot)
+        self._retained.pop(key)
+        self._slot_key[slot] = None
+        allow = None
+        if self.guided is not None:
+            allow_np = self._g_next_np[0] != self.guided.dead
+            allow_np[self.guided.eos_token_id] = bool(self._g_acc_np[0])
+            allow = jnp.asarray(allow_np[None, :])
+        self._rng, rk = jax.random.split(self._rng)
+        g_tok, s_tok = self._jit_reuse_first(
+            rk, self.params, self._last_hidden[slot][None, :], allow)
+        tok = int(np.asarray(g_tok)[0] if req.greedy else np.asarray(s_tok)[0])
+        n = req.input_ids.shape[-1]
+        mask_row = np.zeros((width,), np.int32)
+        mask_row[width - n:] = req.attention_mask.reshape(-1)
+        self._install(req, slot, tok, mask_row, width)
+        # the row STILL holds this prompt's KV and hidden: re-retain on finish
+        return True
 
     @staticmethod
     def input_width(req: Request) -> int:
@@ -321,7 +599,40 @@ class ContinuousBatcher:
         req.done = True
         self.active[slot] = False
         self._by_slot[slot] = None
-        self.cache_mask[slot] = 0
+        if self.prefix_cache:
+            key = req.cache_key()
+            old = self._retained.pop(key, None)
+            if old is not None:
+                self._slot_key[old[0]] = None
+            width = self._bucketed(self.input_width(req))
+            self._retained[key] = (slot, width)
+            self._slot_key[slot] = key
+
+    def preempt(self, slot: int) -> Request:
+        """Recompute preemption (vLLM's eviction story for full pools):
+        evict the running request in `slot`, returning a CONTINUATION
+        request whose prompt is the original prompt plus everything
+        generated so far. Re-admitting it re-prefills that extended prompt
+        and continues the same trajectory (exact for greedy rows). The slot
+        frees immediately for a higher-priority admission."""
+        if self.guided is not None:
+            raise NotImplementedError(
+                "preemption with guided decoding needs DFA-state replay")
+        req = self._by_slot[slot]
+        if req is None:
+            raise ValueError(f"slot {slot} is not active")
+        ids = req.input_ids.reshape(-1)
+        msk = req.attention_mask.reshape(-1)
+        real = ids[msk.astype(bool)]
+        ext = np.concatenate([real, np.asarray(req.tokens, np.int32)])
+        cont = Request(req.rid, ext[None, :], np.ones((1, len(ext)), np.int32),
+                       req.dna_input_ids, req.dna_attention_mask,
+                       max_new_tokens=req.max_new_tokens, greedy=req.greedy)
+        cont.tokens = req.tokens            # shared: totals keep accumulating
+        self.active[slot] = False
+        self._by_slot[slot] = None
+        self._dev_dirty = True
+        return cont
 
     def step(self) -> List[Request]:
         """Advance every active slot one token; returns requests finished
@@ -334,8 +645,8 @@ class ContinuousBatcher:
         the steady state, decode windows chain device→device and the mirrors
         evolve by deterministic replay — zero uploads."""
         self._dev_state = jax.device_put(
-            (self.last_token, self.positions, self.cache_mask, self.next_col,
-             self.active, self.gstate))
+            (jnp.asarray(self.prompt_mask), self.last_token, self.positions,
+             self.dec_len, self.active, self.gstate))
         self._dev_greedy = jax.device_put(self.greedy_row)
         self._dev_dirty = False
 
@@ -344,37 +655,27 @@ class ContinuousBatcher:
         ONE device→host transfer (the [k, C] token matrix), and zero
         device→host state syncs: decode state lives on device between
         windows and the host mirrors advance by replaying the tokens
-        (everything but the sampled token is deterministic). Falls back to
-        single steps when a slot lacks k columns of cache headroom."""
+        (everything but the sampled token is deterministic)."""
         if not self.active.any():
             return []
-        headroom = int(self.next_col[self.active].max())
-        if headroom >= self.max_len:
-            raise RuntimeError("slot overflow: raise max_len")
-        if k > 1 and headroom + k > self.max_len:
-            out = []
-            for _ in range(k):
-                out.extend(self.step_window(1))
-            return out
         if k not in self._jit_multi:
             import functools
-            # donate the cache AND the state tuple (all returned); greedy_row
-            # (argnum 7) is reused across calls and must survive
+            # donate the decode pool and the per-row state (all returned);
+            # prompt pool/mask and greedy_row are REUSED across calls and
+            # must survive. gstate is positional so its donation applies.
             self._jit_multi[k] = jax.jit(
                 functools.partial(self._multi_step, k=k),
-                donate_argnums=(1, 2, 3, 4, 5, 6, 8, 9))
+                donate_argnums=(2, 4, 5, 6, 7, 9, 10))
         if self._dev_state is None or self._dev_dirty:
             self._upload_state()
-        last, pos, cmask, widx, act, gst = self._dev_state
+        pmask, last, pos, dlen, act, gst = self._dev_state
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
-        carry, toks, _ = self._jit_multi[k](
-            self.params, self.cache, last, pos, cmask, widx, act,
-            self._dev_greedy, self._rng, gstate=gst, **gkw)
-        self.cache = carry[0]
-        self._dev_state = (carry[1], carry[2], carry[3], carry[4], carry[5],
-                           carry[7])
-        self._rng = carry[6]
+        carry, toks = self._jit_multi[k](
+            self.params, self.prompt_pool, self.dec_pool, pmask, last, pos,
+            dlen, act, self._dev_greedy, self._rng, gst, **gkw)
+        (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
+        self._dev_state = (pmask, last, pos, dlen, act, gst)
         toks = np.asarray(toks)                 # the ONE transfer
         finished = []
         for step in range(k):
@@ -385,8 +686,7 @@ class ContinuousBatcher:
                 req = self._by_slot[slot]
                 t = int(toks[step, slot])
                 # replay the device-side per-step advance on the mirrors
-                self.cache_mask[slot, self.next_col[slot]] = 1
-                self.next_col[slot] += 1
+                self.dec_len[slot] += 1
                 self.positions[slot] += 1
                 self.last_token[slot] = t
                 if self.guided is not None:
@@ -425,14 +725,17 @@ class ContinuousBatcher:
                         rows, ldna = dshape
                         dna = jnp.zeros((kp * rows, ldna), jnp.int32)
                         dmask = jnp.zeros((kp * rows, ldna), jnp.int32)
-                    kv, logits = self._jit_prefill(self.params, ids, mask,
-                                                   dna, dmask)
-                    self.cache = self._jit_write(
-                        self.cache, kv, jnp.broadcast_to(drop, (kp,)))
+                    kv, logits, last_h = self._jit_prefill(
+                        self.params, ids, mask, dna, dmask)
+                    self.prompt_pool = self._jit_write(
+                        self.prompt_pool, kv, jnp.broadcast_to(drop, (kp,)))
+                    if self.prefix_cache:
+                        self._last_hidden = self._jit_keep_hidden(
+                            self._last_hidden, last_h,
+                            jnp.broadcast_to(drop, (kp,)))
                     self._rng, rk = jax.random.split(self._rng)
                     self._jit_first(rk, logits, None)
-        gkw = (dict(gstate=jnp.asarray(self.gstate),
-                    g_next=self.guided.next_state, g_acc=self.guided.accepting)
+        gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
         for w in windows:
             w = max(1, w)
@@ -440,13 +743,14 @@ class ContinuousBatcher:
                 import functools
                 self._jit_multi[w] = jax.jit(
                     functools.partial(self._multi_step, k=w),
-                    donate_argnums=(1, 2, 3, 4, 5, 6, 8, 9))
-            args = (self.params, self.cache, jnp.asarray(self.last_token),
-                    jnp.asarray(self.positions), jnp.asarray(self.cache_mask),
-                    jnp.asarray(self.next_col), jnp.asarray(self.active),
-                    jnp.asarray(self.greedy_row), self._rng)
-            carry, _, _ = self._jit_multi[w](*args, **gkw)
-            self.cache, self._rng = carry[0], carry[6]
+                    donate_argnums=(2, 4, 5, 6, 7, 9, 10))
+            carry, _ = self._jit_multi[w](
+                self.params, self.prompt_pool, self.dec_pool,
+                jnp.asarray(self.prompt_mask), jnp.asarray(self.last_token),
+                jnp.asarray(self.positions), jnp.asarray(self.dec_len),
+                jnp.asarray(self.active), jnp.asarray(self.greedy_row),
+                self._rng, jnp.asarray(self.gstate), **gkw)
+            self.dec_pool, self._rng = carry[0], carry[5]
         self._dev_dirty = True
 
     def run(self, requests: List[Request], window: int = 1) -> List[Request]:
@@ -458,57 +762,3 @@ class ContinuousBatcher:
             done.extend(r for r in self.admit_many(pending) if r.done)
             done.extend(self.step_window(window) if window > 1 else self.step())
         return done
-
-
-def _decode_rows(dec_params, cfg, token_ids, positions, cache, cache_mask,
-                 write_idx):
-    """decoder_forward decode step where each row writes its KV at its OWN
-    cache column `write_idx` (requests are at different depths). Reuses the
-    per-layer loop but scatters with per-row indices."""
-    dtype = jnp.dtype(cfg.dtype)
-    h = L.embed(dec_params["embed"], token_ids, dtype)
-    b, t, _ = h.shape
-
-    new_cache = []
-    for i in range(cfg.num_layers):
-        lp = jax.tree.map(lambda x: x[i], dec_params["layers"])
-        x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
-        q = L.dense(lp["attn"]["q"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = L.dense(lp["attn"]["k"], x, dtype).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = L.dense(lp["attn"]["v"], x, dtype).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
-        k = L.rmsnorm(lp["attn"]["k_norm"], k, cfg.rms_norm_eps)
-        q = L.apply_rope(q, positions, cfg.rope_theta)
-        k = L.apply_rope(k, positions, cfg.rope_theta)
-
-        rows = jnp.arange(b)
-        entry = cache[i]
-        if "k_scale" in entry:
-            from bioreason_tpu.models.qwen3 import _kv_quantize
-            qk, sk = _kv_quantize(k[:, 0])
-            qv, sv = _kv_quantize(v[:, 0])
-            entry = {
-                "k": entry["k"].at[rows, write_idx].set(qk),
-                "v": entry["v"].at[rows, write_idx].set(qv),
-                "k_scale": entry["k_scale"].at[rows, write_idx].set(
-                    sk.astype(entry["k_scale"].dtype)),
-                "v_scale": entry["v_scale"].at[rows, write_idx].set(
-                    sv.astype(entry["v_scale"].dtype)),
-            }
-        else:
-            entry = {"k": entry["k"].at[rows, write_idx].set(k[:, 0].astype(entry["k"].dtype)),
-                     "v": entry["v"].at[rows, write_idx].set(v[:, 0].astype(entry["v"].dtype))}
-        new_cache.append(entry)
-
-        from bioreason_tpu.models.attention import xla_attention
-        a = xla_attention(q, entry["k"], entry["v"], kv_mask=cache_mask,
-                          causal=False, k_scale=entry.get("k_scale"),
-                          v_scale=entry.get("v_scale"))
-        h = h + L.dense(lp["attn"]["o"], a.reshape(b, t, -1), dtype)
-        x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
-        from bioreason_tpu.models.qwen3 import _mlp
-        h = h + _mlp(lp, cfg, x, dtype)
-
-    h = L.rmsnorm(dec_params["final_norm"], h, cfg.rms_norm_eps)
-    logits = L.lm_logits(dec_params, h)
-    return logits, new_cache

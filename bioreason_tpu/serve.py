@@ -125,6 +125,7 @@ class InferenceServer:
         cb = ContinuousBatcher(self.params, self.cfg,
                                eos_token_id=self.processor.text_tokenizer.eos_token_id,
                                capacity=self.max_batch, max_len=self.slot_len,
+                               max_new=self.max_new_tokens,
                                sampling=self.sampling,
                                guided=self._spec_for(self.guided_regex),
                                kv_int8=self.kv_int8)
@@ -155,8 +156,9 @@ class InferenceServer:
             by_rid[rid] = req
             return Request(rid, out.input_ids, out.attention_mask,
                            out.dna_input_ids, out.dna_attention_mask,
-                           max_new_tokens=req.get("max_new_tokens")
-                           or self.max_new_tokens,
+                           max_new_tokens=min(req.get("max_new_tokens")
+                                              or self.max_new_tokens,
+                                              self.max_new_tokens),
                            greedy=req.get("greedy", self.greedy_default))
 
         def deliver(r):

@@ -161,3 +161,74 @@ class TestContinuousBatching:
                                capacity=1, max_len=70, prompt_bucket=64)
         cb.run([a], window=8)                 # 64-wide prompt + 6 columns left
         assert a.tokens == want
+
+
+class TestPrefixCacheAndPreemption:
+    def test_same_batch_dedupe_matches_engine(self, setup):
+        """Identical prompts admitted together prefill ONCE (fan-out by
+        row-scatter) and still match the engine's greedy output."""
+        cfg, params, engine = setup
+        reqs = [_make_request(i, "shared grpo-style prompt text", max_new=5)
+                for i in range(3)]
+        want = _engine_greedy(engine, params, reqs[0])
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=4, max_len=256, prompt_bucket=64)
+        done = cb.run(reqs, window=2)
+        assert len(done) == 3
+        assert cb.prefill_calls == 1          # one prefill for all three
+        for r in done:
+            assert r.tokens == want
+
+    def test_prefix_cache_reuse_skips_prefill(self, setup):
+        """A finished slot retains its prompt KV; an identical later request
+        admits with ZERO prefill calls and matches exactly (greedy)."""
+        cfg, params, engine = setup
+        a = _make_request(0, "cache me please", max_new=4)
+        want = _engine_greedy(engine, params, a)
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=2, max_len=256, prompt_bucket=64,
+                               prefix_cache=True)
+        cb.run([a], window=2)
+        assert a.tokens == want
+        n_prefills = cb.prefill_calls
+        b = _make_request(1, "cache me please", max_new=4)
+        cb.run([b], window=2)
+        assert cb.prefill_calls == n_prefills  # reuse: no new prefill
+        assert b.tokens == want
+
+    def test_prefix_cache_eviction_correctness(self, setup):
+        """Retained rows are evicted when capacity is needed; a post-eviction
+        duplicate request re-prefills and still matches."""
+        cfg, params, engine = setup
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=1, max_len=256, prompt_bucket=64,
+                               prefix_cache=True)
+        a = _make_request(0, "first unique prompt", max_new=3)
+        b = _make_request(1, "second unique prompt", max_new=3)
+        a2 = _make_request(2, "first unique prompt", max_new=3)
+        cb.run([a], window=2)
+        cb.run([b], window=2)                 # evicts a's retained row (C=1)
+        cb.run([a2], window=2)                # must re-prefill, still correct
+        assert a2.tokens == _engine_greedy(engine, params, a)
+
+    def test_preemption_resumes_exact_trajectory(self, setup):
+        """preempt(slot) -> continuation request; re-admission re-prefills
+        prompt+generated and the final greedy stream is identical to an
+        uninterrupted run (vLLM recompute-preemption semantics)."""
+        cfg, params, engine = setup
+        a = _make_request(0, "long running request to preempt", max_new=8)
+        want = _engine_greedy(engine, params, a)
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=2, max_len=256, prompt_bucket=64)
+        assert cb.admit(a)
+        for _ in range(3):
+            cb.step()
+        if not a.done:
+            cont = cb.preempt(a.slot)
+            assert not cb.active.any()
+            urgent = _make_request(9, "urgent request", max_new=3)
+            cb.run([urgent])                   # freed slot serves a newcomer
+            done = cb.run([cont])
+            assert done and done[0].tokens == want
+        else:
+            assert a.tokens == want
