@@ -17,6 +17,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rollout_int8", action="store_true",
                     help="quantize rollout weights + KV cache to int8")
+    ap.add_argument("--decoder", default="qwen3-0.6b",
+                    choices=["qwen3-0.6b", "qwen3-1.7b", "qwen3-4b"],
+                    help="qwen3-4b = the config the reference RL-tunes on "
+                         "4xA100 (sh_reason.sh:38-54); pair with "
+                         "--rollout_int8 to fit one v5e chip")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps per optimizer "
+                         "update (GRPOConfig.grad_accum_steps)")
+    ap.add_argument("--prompts", type=int, default=4)
+    ap.add_argument("--G", type=int, default=4)
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
@@ -31,17 +41,20 @@ def main(argv=None):
     from bioreason_tpu.train.grpo import GRPOTrainer
     from bioreason_tpu.train.rewards import get_reward_funcs
 
-    G, PROMPTS, NEW = 4, 4, 64
+    G, PROMPTS, NEW = args.G, args.prompts, 64
+    DEC = {"qwen3-0.6b": DecoderConfig.qwen3_0_6b,
+           "qwen3-1.7b": DecoderConfig.qwen3_1_7b,
+           "qwen3-4b": DecoderConfig.qwen3_4b}[args.decoder]
     tok = ByteTextTokenizer()
     proc = BioProcessor(tok, KmerTokenizer())
     fusion = FusionConfig(
-        decoder=DecoderConfig.qwen3_0_6b(vocab_size=tok.vocab_size),  # remat on
+        decoder=DEC(vocab_size=tok.vocab_size),  # remat on
         encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
         dna_pad_token_id=tok.dna_pad_id,
         max_length_text=512, max_length_dna=128)
     cfg = GRPOConfig(
         num_generations=G, batch_size=PROMPTS * G, beta=0.04,
-        rollout_int8=args.rollout_int8,
+        rollout_int8=args.rollout_int8, grad_accum_steps=args.accum,
         max_completion_length=NEW,
         sampling=SamplingConfig(max_new_tokens=NEW),
         optim=OptimConfig(learning_rate=5e-6, total_steps=100),

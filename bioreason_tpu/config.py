@@ -288,6 +288,12 @@ class GRPOConfig:
     rollout_kv_int8: bool = False
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
     batch_size: int = 8              # prompts*G per step (must be divisible by G)
+    # gradient accumulation (reference buffers rollouts per accum step,
+    # grpo_trainer.py:399-403): each step() call is a MICRO-step of
+    # batch_size rollouts; the optimizer applies once every
+    # grad_accum_steps calls with the running-mean gradient — 4B-class GRPO
+    # fits on-chip with the effective batch it needs.
+    grad_accum_steps: int = 1
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=5e-6))
     lora: Optional[LoRAConfig] = field(default_factory=LoRAConfig)
     # TR-DPO-style ref sync (grpo_config.py:320-341)

@@ -228,3 +228,74 @@ class TestRolloutInt8:
         assert np.isfinite(m["loss"]) and np.isfinite(m["reward"])
         assert len(trainer.last_completions) == 4
         assert m["completion_length"] > 0
+
+
+class TestGradAccumulation:
+    """grad_accum_steps=N: N micro-batches must produce EXACTLY the update
+    of the equivalent single big batch (reference buffers per accum step,
+    grpo_trainer.py:399-403; optax.MultiSteps running-mean gradient)."""
+
+    def _mk(self, accum, batch):
+        fusion = FusionConfig.tiny(text_vocab=TOK.vocab_size,
+                                   dna_pad_token_id=TOK.dna_pad_id)
+        cfg = GRPOConfig(
+            num_generations=2, batch_size=batch, beta=0.0, num_iterations=1,
+            max_completion_length=8, grad_accum_steps=accum,
+            sampling=SamplingConfig(max_new_tokens=8),
+            optim=OptimConfig(learning_rate=1e-3, total_steps=10),
+            lora=LoRAConfig(r=4, alpha=8))
+        import jax as _jax
+        mesh = make_mesh(MeshConfig(data=1, fsdp=1, model=1),
+                         devices=_jax.devices()[:1])
+        return GRPOTrainer(fusion, cfg, PROC,
+                           [REWARD_REGISTRY["correctness"]], mesh=mesh)
+
+    @staticmethod
+    def _batch(rng, b, t, clen):
+        ids = rng.integers(3, TOK.vocab_size - 10, (b, t)).astype(np.int32)
+        mask = np.ones((b, t), np.int32)
+        cmask = np.ones((b, clen), np.int32)
+        adv = rng.normal(size=(b,)).astype(np.float32)
+        return {"full_ids": ids, "full_mask": mask, "completion_mask": cmask,
+                "advantages": adv}
+
+    def test_accum_matches_big_batch(self):
+        rng = np.random.default_rng(0)
+        clen, t = 8, 32
+        b1 = self._batch(rng, 4, t, clen)
+        b2 = self._batch(rng, 4, t, clen)
+        big = {k: np.concatenate([b1[k], b2[k]], axis=0) for k in b1}
+
+        ta = self._mk(accum=2, batch=4)
+        tb = self._mk(accum=1, batch=8)
+        # identical inits (same seed)
+        for x, y in zip(ta.train_leaves, tb.train_leaves):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        for micro in (b1, b2):
+            ta.train_leaves, ta.opt_state, _ = ta._jit_update(
+                ta.train_leaves, ta.frozen_leaves, ta.opt_state,
+                {k: jax.numpy.asarray(v) for k, v in micro.items()},
+                completion_len=clen)
+        tb.train_leaves, tb.opt_state, _ = tb._jit_update(
+            tb.train_leaves, tb.frozen_leaves, tb.opt_state,
+            {k: jax.numpy.asarray(v) for k, v in big.items()},
+            completion_len=clen)
+
+        for x, y in zip(ta.train_leaves, tb.train_leaves):
+            np.testing.assert_allclose(np.asarray(x, np.float32),
+                                       np.asarray(y, np.float32),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_micro_steps_defer_update(self):
+        """The first N-1 micro-steps must leave the params untouched."""
+        rng = np.random.default_rng(1)
+        ta = self._mk(accum=2, batch=4)
+        before = [np.asarray(x).copy() for x in ta.train_leaves]
+        micro = self._batch(rng, 4, 32, 8)
+        ta.train_leaves, ta.opt_state, _ = ta._jit_update(
+            ta.train_leaves, ta.frozen_leaves, ta.opt_state,
+            {k: jax.numpy.asarray(v) for k, v in micro.items()},
+            completion_len=8)
+        for x, y in zip(before, ta.train_leaves):
+            np.testing.assert_array_equal(x, np.asarray(y))
