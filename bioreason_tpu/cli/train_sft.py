@@ -64,6 +64,10 @@ def main(argv=None):
                    help="capture a jax.profiler device trace of steps 2-4")
     p.add_argument("--save_every", type=int, default=0,
                    help="periodic full-state checkpoint (params+optimizer+step)")
+    p.add_argument("--keep_top_k", type=int, default=0,
+                   help="retain the k best val-loss checkpoints under "
+                        "<checkpoint_dir>/best (reference ModelCheckpoint "
+                        "save_top_k=2 on val_loss_epoch); needs --eval_every")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoint_dir>/sft_state if present")
     p.add_argument("--test_generative", action="store_true",
@@ -125,11 +129,14 @@ def main(argv=None):
     if dna_impl:
         import dataclasses
         if fusion_cfg.encoder_kind == "evo2":
-            # hyena tower SP: halo convs + chunked-state li (parallel/sp_hyena.py)
-            if not dna_impl.startswith("sp") or dna_impl.startswith("sp_local"):
-                p.error("the Evo2 tower's striped attention is causal; "
-                        "only --dna_attention sp applies (banded kernels are "
-                        "bidirectional-only)")
+            # hyena tower: xla/pallas run single-device; sp/sp_pallas shard
+            # the sequence axis (parallel/sp_hyena.py). The banded local
+            # kernels are bidirectional-only and the tower's striped
+            # attention is causal, so local:/sp_local: are rejected.
+            if dna_impl.startswith("local") or dna_impl.startswith("sp_local"):
+                p.error("the Evo2 tower's striped attention is causal; banded "
+                        "local kernels (local:/sp_local:) are bidirectional-"
+                        "only — use xla, pallas, sp or sp_pallas")
             fusion_cfg = dataclasses.replace(
                 fusion_cfg, hyena=dataclasses.replace(
                     fusion_cfg.hyena, attention_impl=dna_impl))
@@ -160,6 +167,14 @@ def main(argv=None):
         print(f"resumed from {state_path} at step {trainer.step}")
     logger = MetricsLogger(args.log_dir, use_wandb=args.wandb, config=vars(args))
     timer = StepTimer()
+    keeper = None
+    if args.keep_top_k:
+        # best-k retention on val loss (reference ModelCheckpoint top-2 on
+        # val_loss_epoch, train_dna_qwen.py:962-971); the periodic
+        # --save_every state checkpoint plays the save_last role
+        from bioreason_tpu.train.checkpoint import TopKKeeper
+        keeper = TopKKeeper(os.path.join(args.checkpoint_dir, "best"),
+                            k=args.keep_top_k)
 
     collate = functools.partial(sft_collate, processor=proc,
                                 max_length_text=args.max_length_text,
@@ -188,8 +203,16 @@ def main(argv=None):
         step += 1
         if args.eval_every and step % args.eval_every == 0 and val_items:
             val_losses = [trainer.eval_step(b) for b in batch_iterator(
-                val_items, val_collate, args.batch_size, shuffle=False, epochs=1)]
-            logger.log({"val/loss": float(np.mean(val_losses))}, step=step)
+                val_items, val_collate, args.batch_size, shuffle=False,
+                epochs=1, drop_last=False)]
+            if val_losses:                  # val split smaller than a batch
+                val_loss = float(np.mean(val_losses))
+                logger.log({"val/loss": val_loss}, step=step)
+                if keeper is not None:
+                    kept = keeper.update(val_loss, trainer.save, step)
+                    if kept:
+                        print(f"val_loss {val_loss:.4f} in "
+                              f"top-{args.keep_top_k}: saved {kept}")
         if args.sample_every and step % args.sample_every == 0:
             from bioreason_tpu.data.chat_template import render_chat
             from bioreason_tpu.train.eval import _prompt_messages

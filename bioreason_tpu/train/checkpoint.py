@@ -59,10 +59,15 @@ class AsyncSaver:
     background thread reading the ORIGINAL arrays would race donation and
     hit deleted buffers). The device->host gather and file I/O then run in
     a daemon thread. One in-flight save at a time; a new save (or `wait`)
-    joins the previous one first."""
+    joins the previous one first.
+
+    A failed background write (disk full, Orbax error) is captured and
+    re-raised at the NEXT save()/wait() call — periodic checkpoints can
+    never go silently missing while the run reports success."""
 
     def __init__(self):
         self._thread = None
+        self._error: Optional[BaseException] = None
 
     def save(self, path: str, params: Dict, step: int = 0, stage: str = "sft",
              extra_metadata: Optional[Dict[str, Any]] = None) -> None:
@@ -73,8 +78,11 @@ class AsyncSaver:
             lambda x: x.copy() if isinstance(x, jax.Array) else x, params)
 
         def run():
-            save_checkpoint(path, snapshot, step=step, stage=stage,
-                            extra_metadata=extra_metadata)
+            try:
+                save_checkpoint(path, snapshot, step=step, stage=stage,
+                                extra_metadata=extra_metadata)
+            except BaseException as e:       # surfaced by the next save/wait
+                self._error = e
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -83,6 +91,9 @@ class AsyncSaver:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from err
 
 
 def load_checkpoint(path: str, like: Optional[Dict] = None) -> Dict:
@@ -106,6 +117,66 @@ def load_checkpoint(path: str, like: Optional[Dict] = None) -> Dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = arr
     return out
+
+
+class TopKKeeper:
+    """Best-k checkpoint retention on a monitored metric.
+
+    The reference keeps the top-2 checkpoints on `val_loss_epoch` plus
+    `save_last` (Lightning ModelCheckpoint, train_dna_qwen.py:962-971;
+    acc-monitored variant train_dna_only.py:402-411). Here: call
+    `update(value, save_fn, step)` after each validation; if `value` ranks
+    in the current top-k the checkpoint is written to `<root>/best-step<N>`
+    and the now-(k+1)-th is pruned. `<root>/index.json` records the ranking
+    so `best_path()` finds the winner after a restart. The reference's
+    `save_last` role is covered by the trainer's periodic `--save_every`
+    state checkpoint."""
+
+    def __init__(self, root: str, k: int = 2, mode: str = "min"):
+        assert mode in ("min", "max")
+        self.root = os.path.abspath(root)
+        self.k = k
+        self.mode = mode
+        self._kept: list = []                  # [(value, step, path)]
+        os.makedirs(self.root, exist_ok=True)
+        idx = os.path.join(self.root, "index.json")
+        if os.path.exists(idx):                # resume: adopt surviving dirs
+            with open(idx) as f:
+                for value, step, path in json.load(f)["kept"]:
+                    if os.path.isdir(path):
+                        self._kept.append((value, step, path))
+
+    def _better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def _flush_index(self):
+        with open(os.path.join(self.root, "index.json"), "w") as f:
+            json.dump({"monitor_mode": self.mode, "k": self.k,
+                       "kept": self._kept}, f)
+
+    def update(self, value: float, save_fn, step: int) -> Optional[str]:
+        """`save_fn(path)` writes the checkpoint. Returns the path if
+        `value` made the top-k, else None (nothing written)."""
+        value = float(value)
+        if not np.isfinite(value):          # a NaN val loss is never "best"
+            return None
+        if len(self._kept) >= self.k:
+            worst = self._kept[-1][0]
+            if not self._better(value, worst):
+                return None
+        path = os.path.join(self.root, f"best-step{step}")
+        save_fn(path)
+        self._kept.append((value, step, path))
+        self._kept.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
+        while len(self._kept) > self.k:
+            _, _, stale = self._kept.pop()
+            import shutil
+            shutil.rmtree(stale, ignore_errors=True)
+        self._flush_index()
+        return path
+
+    def best_path(self) -> Optional[str]:
+        return self._kept[0][2] if self._kept else None
 
 
 def load_metadata(path: str) -> Dict[str, Any]:
