@@ -107,10 +107,30 @@ def main(argv=None):
         base = init_fusion(rng, fusion_cfg)
         from bioreason_tpu.train.lora import attach_lora
         like = attach_lora(rng, base, lora_cfg)
-        try:
-            sft_params = load_checkpoint(args.sft_checkpoint, like=like)
-        except Exception:
-            sft_params = load_checkpoint(args.sft_checkpoint, like=base)
+        is_torch = (os.path.isfile(args.sft_checkpoint)
+                    or (os.path.isdir(args.sft_checkpoint)
+                        and not os.path.isdir(
+                            os.path.join(args.sft_checkpoint, "params"))
+                        and any(f.startswith("pytorch_model")
+                                or f.endswith((".bin", ".ckpt", ".pt",
+                                               ".safetensors"))
+                                for f in os.listdir(args.sft_checkpoint))))
+        if is_torch:
+            # a REFERENCE BioReason torch checkpoint (PEFT / Lightning /
+            # DeepSpeed / raw state dict, reason.py:422-540): ingest +
+            # merge-LoRA into the repo tree, overlay onto the init tree so
+            # components absent from the file (e.g. LLM-only runs) keep
+            # their initialization
+            from bioreason_tpu.utils.ref_ckpt import load_reference_sft
+            loaded = load_reference_sft(args.sft_checkpoint, fusion_cfg)
+            sft_params = {**base, **loaded}
+            print(f"ingested reference torch checkpoint "
+                  f"{args.sft_checkpoint} (components: {sorted(loaded)})")
+        else:
+            try:
+                sft_params = load_checkpoint(args.sft_checkpoint, like=like)
+            except Exception:
+                sft_params = load_checkpoint(args.sft_checkpoint, like=base)
         params = sft_to_grpo_params(sft_params, jax.random.fold_in(rng, 2), lora_cfg)
     elif pretrained_params is not None:
         params = pretrained_params   # GRPOTrainer attaches fresh LoRA adapters
