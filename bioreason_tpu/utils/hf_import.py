@@ -47,7 +47,9 @@ def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         for k, v in sd.items():
-            tensors[k] = v.float().numpy()
+            # vortex Evo2 stores implicit-filter poles/residues as COMPLEX
+            # tensors; .float() would silently drop the imaginary part
+            tensors[k] = (v.numpy() if v.is_complex() else v.float().numpy())
     return tensors
 
 
@@ -282,11 +284,21 @@ def import_evo2(state: Dict[str, np.ndarray], dtype=np.float32):
         else:
             filt: Dict = {}
             if has(f"{p}.filter.poles"):
-                poles = get(f"{p}.filter.poles")
-                residues = get(f"{p}.filter.residues")
-                # accept [D,K,1,2] (vortex) or [D,K,2]
-                poles = poles.reshape(poles.shape[0], poles.shape[1], 2)
-                residues = residues.reshape(residues.shape[0], residues.shape[1], 2)
+                def pairs(k):
+                    # real layouts [D,K,1,2]/[D,K,2] (trailing (re,im)) or a
+                    # genuinely COMPLEX [D,K]/[D,K,1] tensor (vortex .pt)
+                    for cand in (k, "backbone." + k):
+                        if cand in state:
+                            a = np.asarray(state[cand])
+                            break
+                    else:
+                        raise KeyError(k)
+                    if np.iscomplexobj(a):
+                        a = a.reshape(a.shape[0], -1)
+                        return np.stack([a.real, a.imag], -1).astype(dtype)
+                    return a.astype(dtype).reshape(a.shape[0], a.shape[1], 2)
+                poles = pairs(f"{p}.filter.poles")
+                residues = pairs(f"{p}.filter.residues")
                 mag = np.sqrt(poles[..., 0] ** 2 + poles[..., 1] ** 2)
                 mag = np.clip(mag, 1e-6, 1 - 1e-6)
                 phase = np.arctan2(poles[..., 1], poles[..., 0])

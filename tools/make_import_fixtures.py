@@ -1,0 +1,188 @@
+"""Generate committed importer fixtures (tests/assets/).
+
+VERDICT r2 #3: pin the NT-v2 / Evo2 importers to real checkpoint LAYOUTS via
+bytes on disk, not in-memory transcribed oracles — a wrong fused-GLU key
+split or an un-conjugated complex pole must fail a test that READS FILES.
+
+Emits:
+  tests/assets/nt_v2_tiny/model.safetensors
+      tiny state dict in the exact NT-v2 remote-code MaskedLM layout
+      (esm.* keys, FUSED gated `intermediate.dense` of width 2*I with
+      add_bias_fnn=False, rotary inv_freq buffers, plus the lm_head /
+      contact_head keys the importer must ignore)
+  tests/assets/evo2_tiny.pt
+      tiny vortex-format Evo2 checkpoint: blocks.N.{pre_norm,projections,
+      filter,out_filter_dense,post_norm,mlp.l1/l2/l3}, striped
+      inner_mha_cls attention with FUSED Wqkv, and li filters stored as
+      genuinely COMPLEX torch tensors (poles/residues), plus an
+      unembed.weight extra key
+  tests/assets/{nt_v2_tiny_out,evo2_tiny_out,evo2_tiny_tap}.npy
+      golden fp32 forward outputs of the imported towers (fixed input ids
+      baked into the test), produced under
+      jax.default_matmul_precision('highest') at generation time — the
+      import math itself is pinned to independent fp64 NumPy oracles by
+      tests/test_golden_parity.py and tests/test_evo2_import.py.
+
+Run from the repo root: python tools/make_import_fixtures.py
+"""
+
+import os
+
+import numpy as np
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "tests", "assets")
+
+# fixture geometry (mirrors the oracle tests' tiny shapes)
+NT = dict(H=32, I=48, L=2, V=32, heads=4)
+EV = dict(D=16, I=24, V=32, HEADS=2, SHORT=3, SE_LEN=5, MR_LEN=8, ORDER=3,
+          FLAVORS=("se", "mr", "li", "attn"))
+
+
+def make_nt_fixture():
+    from safetensors.numpy import save_file
+    H, I, L, V, heads = NT["H"], NT["I"], NT["L"], NT["V"], NT["heads"]
+    rng = np.random.default_rng(42)
+
+    def w(*shape, s=0.2):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    state = {
+        "esm.embeddings.word_embeddings.weight": w(V, H),
+        "esm.encoder.emb_layer_norm_after.weight": 1 + 0.1 * w(H),
+        "esm.encoder.emb_layer_norm_after.bias": 0.1 * w(H),
+        # head keys present on the hub checkpoint; the importer must skip them
+        "lm_head.dense.weight": w(H, H),
+        "lm_head.dense.bias": 0.1 * w(H),
+        "lm_head.layer_norm.weight": 1 + 0.1 * w(H),
+        "lm_head.layer_norm.bias": 0.1 * w(H),
+        "lm_head.decoder.weight": w(V, H),
+        "lm_head.bias": 0.1 * w(V),
+        "esm.contact_head.regression.weight": w(1, L * heads),
+        "esm.contact_head.regression.bias": 0.1 * w(1),
+    }
+    hd = H // heads
+    for i in range(L):
+        p = f"esm.encoder.layer.{i}"
+        for nm in ("query", "key", "value"):
+            state[f"{p}.attention.self.{nm}.weight"] = w(H, H)
+            state[f"{p}.attention.self.{nm}.bias"] = 0.1 * w(H)
+        # rotary buffer shipped in the checkpoint, not a learned weight
+        state[f"{p}.attention.self.rotary_embeddings.inv_freq"] = (
+            1.0 / 10000.0 ** (np.arange(0, hd, 2) / hd)).astype(np.float32)
+        state[f"{p}.attention.output.dense.weight"] = w(H, H)
+        state[f"{p}.attention.output.dense.bias"] = 0.1 * w(H)
+        state[f"{p}.attention.LayerNorm.weight"] = 1 + 0.1 * w(H)
+        state[f"{p}.attention.LayerNorm.bias"] = 0.1 * w(H)
+        # NT-v2 remote code: ONE fused gated dense [2I, H], no fnn biases
+        state[f"{p}.intermediate.dense.weight"] = w(2 * I, H)
+        state[f"{p}.output.dense.weight"] = w(H, I)
+        state[f"{p}.LayerNorm.weight"] = 1 + 0.1 * w(H)
+        state[f"{p}.LayerNorm.bias"] = 0.1 * w(H)
+
+    d = os.path.join(ASSETS, "nt_v2_tiny")
+    os.makedirs(d, exist_ok=True)
+    save_file(state, os.path.join(d, "model.safetensors"))
+    return d
+
+
+def make_evo2_fixture():
+    import torch
+    D, I, V = EV["D"], EV["I"], EV["V"]
+    rng = np.random.default_rng(7)
+
+    def w(*shape, s=0.25):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    state = {"embedding_layer.weight": w(V, D), "norm.scale": 1 + 0.1 * w(D),
+             "unembed.weight": w(V, D)}          # extra key: must be ignored
+    for i, fl in enumerate(EV["FLAVORS"]):
+        p = f"blocks.{i}"
+        state[f"{p}.pre_norm.scale"] = 1 + 0.1 * w(D)
+        state[f"{p}.post_norm.scale"] = 1 + 0.1 * w(D)
+        state[f"{p}.mlp.l1.weight"] = w(I, D)
+        state[f"{p}.mlp.l2.weight"] = w(I, D)
+        state[f"{p}.mlp.l3.weight"] = w(D, I)
+        if fl == "attn":
+            state[f"{p}.inner_mha_cls.Wqkv.weight"] = w(3 * D, D)
+            state[f"{p}.inner_mha_cls.out_proj.weight"] = w(D, D)
+            continue
+        state[f"{p}.projections.weight"] = w(3 * D, D)
+        state[f"{p}.filter.short_filter_weight"] = w(3 * D, 1, EV["SHORT"])
+        state[f"{p}.filter.D"] = w(D)
+        state[f"{p}.out_filter_dense.weight"] = w(D, D)
+        if fl == "se":
+            state[f"{p}.filter.h"] = w(D, EV["SE_LEN"])
+        elif fl == "mr":
+            state[f"{p}.filter.h"] = w(D, EV["MR_LEN"])
+            state[f"{p}.filter.decay"] = np.exp(
+                -np.abs(w(D, 1)) * np.arange(EV["MR_LEN"])[None]
+            ).astype(np.float32)
+        else:   # li: COMPLEX poles inside the unit disk + complex residues
+            K = EV["ORDER"]
+            mag = rng.uniform(0.3, 0.95, (D, K))
+            ang = rng.uniform(-np.pi, np.pi, (D, K))
+            poles = (mag * np.exp(1j * ang)).astype(np.complex64)
+            residues = (0.3 * (rng.standard_normal((D, K))
+                               + 1j * rng.standard_normal((D, K)))
+                        ).astype(np.complex64)
+            state[f"{p}.filter.poles"] = poles[:, :, None]      # [D,K,1]
+            state[f"{p}.filter.residues"] = residues[:, :, None]
+
+    os.makedirs(ASSETS, exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state.items()},
+               os.path.join(ASSETS, "evo2_tiny.pt"))
+
+
+def make_goldens():
+    import jax
+    import jax.numpy as jnp
+    from bioreason_tpu.config import EncoderConfig, HyenaConfig
+    from bioreason_tpu.models.evo2 import hyena_forward
+    from bioreason_tpu.models.nt_encoder import encoder_forward
+    from bioreason_tpu.utils.hf_import import (import_esm, import_evo2,
+                                               load_hf_state_dict)
+
+    nt_state = load_hf_state_dict(os.path.join(ASSETS, "nt_v2_tiny"))
+    nt_params = jax.tree.map(jnp.asarray, import_esm(nt_state))
+    nt_cfg = EncoderConfig(
+        vocab_size=NT["V"], hidden_size=NT["H"], intermediate_size=NT["I"],
+        num_layers=NT["L"], num_heads=NT["heads"], rope_theta=10000.0,
+        norm_eps=1e-12, use_swiglu=True, attn_bias=True, mlp_bias=False,
+        remat=False, attention_impl="xla", dtype="float32")
+    ids = np.random.default_rng(0).integers(4, NT["V"], (2, 11)).astype(np.int32)
+    with jax.default_matmul_precision("highest"):
+        out = encoder_forward(nt_params, nt_cfg, jnp.asarray(ids),
+                              jnp.ones_like(jnp.asarray(ids)))
+    np.save(os.path.join(ASSETS, "nt_v2_tiny_out.npy"), np.asarray(out))
+
+    ev_dir = ASSETS
+    ev_state = {}
+    import torch
+    for k, v in torch.load(os.path.join(ev_dir, "evo2_tiny.pt"),
+                           map_location="cpu", weights_only=True).items():
+        ev_state[k] = v.numpy() if v.is_complex() else v.float().numpy()
+    ev_params, flavors = import_evo2(ev_state)
+    assert flavors == EV["FLAVORS"], flavors
+    ev_cfg = HyenaConfig(
+        vocab_size=EV["V"], hidden_size=EV["D"], intermediate_size=EV["I"],
+        num_layers=len(EV["FLAVORS"]), num_heads=EV["HEADS"],
+        short_filter_len=EV["SHORT"], se_filter_len=EV["SE_LEN"],
+        medium_filter_len=EV["MR_LEN"], li_order=EV["ORDER"],
+        layer_flavors=EV["FLAVORS"], mlp_activation="gelu", remat=False,
+        attention_impl="xla", dtype="float32")
+    ev_ids = np.random.default_rng(1).integers(0, EV["V"], (2, 12)).astype(np.int32)
+    ev_params = jax.tree.map(jnp.asarray, ev_params)
+    with jax.default_matmul_precision("highest"):
+        out = hyena_forward(ev_params, ev_cfg, jnp.asarray(ev_ids))
+        tap = hyena_forward(ev_params, ev_cfg, jnp.asarray(ev_ids),
+                            tap_layer=2)
+    np.save(os.path.join(ASSETS, "evo2_tiny_out.npy"), np.asarray(out))
+    np.save(os.path.join(ASSETS, "evo2_tiny_tap.npy"), np.asarray(tap))
+
+
+if __name__ == "__main__":
+    make_nt_fixture()
+    make_evo2_fixture()
+    make_goldens()
+    print("fixtures written to", os.path.abspath(ASSETS))
