@@ -32,14 +32,34 @@ def main(argv=None):
     p.add_argument("--skip_mismatches", action="store_true",
                    help="drop rows whose ref allele mismatches the genome "
                         "instead of raising")
+    p.add_argument("--clinvar", action="store_true",
+                   help="treat --variants as a ClinVar variant_summary-style "
+                        "TSV (Chromosome/PositionVCF/*AlleleVCF/"
+                        "ClinicalSignificance/GeneSymbol/Type columns): rows "
+                        "are split SNV vs non-SNV by Type and answers are "
+                        "cleaned with the VEP dataset-layer cleaners "
+                        "(Clinvar_Coding / Clinvar_SNV_Non_SNV notebook tail)")
+    p.add_argument("--assembly", default=None,
+                   help="with --clinvar: keep only rows of this Assembly "
+                        "(e.g. GRCh38)")
     args = p.parse_args(argv)
 
-    from bioreason_tpu.data.curation import (curate_items, read_fasta,
+    from bioreason_tpu.data.curation import (curate_clinvar, curate_items,
+                                             read_clinvar_table, read_fasta,
                                              read_variant_table, write_jsonl)
     contigs = read_fasta(args.fasta)
-    rows = read_variant_table(args.variants)
-    items = curate_items(contigs, rows, task=args.task, flank=args.flank,
-                         validate_ref=not args.skip_mismatches)
+    if args.clinvar:
+        if args.task == "kegg":
+            p.error("--clinvar emits VEP tasks; pick --task "
+                    "variant_effect_coding or variant_effect_non_snv")
+        rows = read_clinvar_table(args.variants, assembly=args.assembly)
+        items = curate_clinvar(contigs, rows, task=args.task,
+                               flank=args.flank,
+                               validate_ref=not args.skip_mismatches)
+    else:
+        rows = read_variant_table(args.variants)
+        items = curate_items(contigs, rows, task=args.task, flank=args.flank,
+                             validate_ref=not args.skip_mismatches)
     write_jsonl(items, args.out)
     print(f"wrote {len(items)} items ({len(rows) - len(items)} dropped) "
           f"to {args.out}")

@@ -156,3 +156,98 @@ def write_jsonl(items: list, path: str) -> None:
     with open(path, "w") as f:
         for it in items:
             f.write(json.dumps(it) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# ClinVar ingestion (the Clinvar_Coding / Clinvar_SNV_Non_SNV notebook tail,
+# reference data/README.md): a ClinVar variant_summary-style TSV is mapped to
+# the canonical variant rows, split into SNV (VEP-coding) vs non-SNV
+# (structural) classes, with answers cleaned by the SAME functions the VEP
+# dataset layer applies at load time (data/variant_effect.py cleaners), so
+# curated labels and hub-dataset labels are byte-compatible.
+# ---------------------------------------------------------------------------
+
+_CLINVAR_COLS = {
+    "chrom": ("Chromosome", "chrom"),
+    "pos": ("PositionVCF", "Start", "pos"),
+    "ref": ("ReferenceAlleleVCF", "ReferenceAllele", "ref"),
+    "alt": ("AlternateAlleleVCF", "AlternateAllele", "alt"),
+    "answer": ("ClinicalSignificance", "answer"),
+    "gene": ("GeneSymbol", "gene"),
+    "type": ("Type", "type"),
+}
+
+_SNV_TYPES = {"single nucleotide variant", "snv"}
+
+
+def _clinvar_get(row: dict, field: str, default: str = "") -> str:
+    for col in _CLINVAR_COLS[field]:
+        if col in row and row[col] not in (None, ""):
+            return str(row[col])
+    return default
+
+
+def read_clinvar_table(path: str, assembly: Optional[str] = None) -> list:
+    """ClinVar variant_summary-style TSV -> canonical variant rows with a
+    `variant_class` ('snv' | 'non_snv') per row.
+
+    * column aliases: Chromosome/PositionVCF/ReferenceAlleleVCF/
+      AlternateAlleleVCF/ClinicalSignificance/GeneSymbol/Type (falls back to
+      the plain names of read_variant_table);
+    * `assembly` filters on the Assembly column when present (ClinVar lists
+      GRCh37+GRCh38 rows for the same allele);
+    * class: `Type == single nucleotide variant` (or 1bp ref/alt) -> 'snv',
+      everything else (Deletion/Duplication/Insertion/Indel/Microsatellite)
+      -> 'non_snv';
+    * ClinVar spells deleted/inserted alleles as '-' in some exports —
+      normalized to empty here (apply_variant semantics).
+    """
+    import csv
+    out = []
+    with open(path) as f:
+        first = f.readline()
+        f.seek(0)
+        delim = "\t" if "\t" in first else ","
+        reader = csv.DictReader(
+            (l for l in f if not l.startswith("##")), delimiter=delim)
+        fieldnames = [c.lstrip("#") for c in (reader.fieldnames or ())]
+        reader.fieldnames = fieldnames
+        for row in reader:
+            if assembly and row.get("Assembly") and row["Assembly"] != assembly:
+                continue
+            ref = _clinvar_get(row, "ref").replace("-", "").upper()
+            alt = _clinvar_get(row, "alt").replace("-", "").upper()
+            vtype = _clinvar_get(row, "type").strip().lower()
+            is_snv = (vtype in _SNV_TYPES if vtype
+                      else (len(ref) == 1 and len(alt) == 1))
+            answer = _clinvar_get(row, "answer")
+            if not answer:
+                continue
+            out.append({
+                "chrom": _clinvar_get(row, "chrom"),
+                "pos": _clinvar_get(row, "pos"),
+                "ref": ref, "alt": alt, "answer": answer,
+                "gene": _clinvar_get(row, "gene"),
+                "reasoning": row.get("reasoning", ""),
+                "variant_class": "snv" if is_snv else "non_snv",
+            })
+    return out
+
+
+def curate_clinvar(contigs: Dict[str, str], rows: list, task: str,
+                   flank: int = 1000, validate_ref: bool = True) -> list:
+    """ClinVar rows -> VEP training items for `task`
+    ('variant_effect_coding' keeps SNV rows; 'variant_effect_non_snv' keeps
+    the rest), windowed like curate_items and answer-cleaned with the task's
+    dataset-layer cleaner (reference variant_effect.py:26-39 semantics)."""
+    from bioreason_tpu.data.variant_effect import (
+        clean_variant_effect_example, clean_variant_effect_non_snv_example)
+    want = "snv" if task == "variant_effect_coding" else "non_snv"
+    if task not in ("variant_effect_coding", "variant_effect_non_snv"):
+        raise ValueError(f"not a VEP task: {task}")
+    clean = (clean_variant_effect_example if want == "snv"
+             else clean_variant_effect_non_snv_example)
+    kept = [r for r in rows if r.get("variant_class", "snv") == want]
+    items = curate_items(contigs, kept, task=task, flank=flank,
+                         validate_ref=validate_ref)
+    return [clean(it) for it in items]

@@ -66,4 +66,45 @@ print("serve response:", json.load(urllib.request.urlopen(req, timeout=600)))
 httpd.shutdown(); srv.stop()
 EOF
 
+echo "== 6. VEP curation -> SFT -> generative eval (both ClinVar tasks) =="
+# synthetic mini-genome + ClinVar-style variant table (the offline tail of
+# the Clinvar_Coding / Clinvar_SNV_Non_SNV notebooks)
+python - <<'EOF'
+import random
+random.seed(0)
+seq = "".join(random.choice("ACGT") for _ in range(4000))
+with open("/tmp/bioreason_pipeline_genome.fa", "w") as f:
+    f.write(">chr1\n")
+    for i in range(0, len(seq), 80):
+        f.write(seq[i:i+80] + "\n")
+cols = ["Chromosome", "PositionVCF", "ReferenceAlleleVCF",
+        "AlternateAlleleVCF", "ClinicalSignificance", "GeneSymbol", "Type"]
+rows = []
+for i in range(24):
+    pos = 200 + i * 150
+    ref = seq[pos - 1]
+    alt = random.choice([b for b in "ACGT" if b != ref])
+    sig = "Pathogenic; risk factor" if i % 2 else "Benign"
+    if i % 3 == 2:     # every third row: a small deletion (non-SNV class)
+        ref, alt, vtype = seq[pos - 1:pos + 2], seq[pos - 1], "Deletion"
+    else:
+        vtype = "single nucleotide variant"
+    rows.append([f"chr1", str(pos), ref, alt, sig, f"GENE{i%4}", vtype])
+with open("/tmp/bioreason_pipeline_clinvar.tsv", "w") as f:
+    f.write("\t".join(cols) + "\n")
+    for r in rows:
+        f.write("\t".join(r) + "\n")
+EOF
+for TASK in variant_effect_coding variant_effect_non_snv; do
+  python -m bioreason_tpu.cli.curate --clinvar \
+      --fasta /tmp/bioreason_pipeline_genome.fa \
+      --variants /tmp/bioreason_pipeline_clinvar.tsv \
+      --task "$TASK" --flank 120 --out "$OUT/$TASK.jsonl"
+  python -m bioreason_tpu.cli.train_sft --decoder tiny --encoder tiny $DEV \
+      --dataset_type "$TASK" --data_dir "$OUT/$TASK.jsonl" \
+      --batch_size 2 --max_length_dna 128 --max_length_text 384 \
+      --max_steps 4 --test_generative --max_new_tokens 16 \
+      --checkpoint_dir "$OUT/sft_$TASK" --log_dir "$OUT/logs_$TASK"
+done
+
 echo "== pipeline complete; artifacts in $OUT =="

@@ -1,5 +1,7 @@
 import json
 
+import pytest
+
 from bioreason_tpu.data.loaders import load_local_dataset
 from bioreason_tpu.data.kegg import synthetic_kegg_items
 
@@ -159,3 +161,96 @@ class TestPrefetch:
         time.sleep(0.2)           # producer should have buffered ahead
         assert len(produced) >= 3
         assert list(it) == [1, 2, 3]
+
+
+class TestClinVarCuration:
+    """ClinVar variant_summary-style ingestion (the Clinvar_Coding /
+    Clinvar_SNV_Non_SNV notebook tail, reference data/README.md)."""
+
+    GENOME = "ACGT" * 64
+
+    def _tsv(self, tmp_path):
+        cols = ["#AlleleID", "Type", "GeneSymbol", "ClinicalSignificance",
+                "Chromosome", "PositionVCF", "ReferenceAlleleVCF",
+                "AlternateAlleleVCF", "Assembly"]
+        # pos is 1-based; GENOME[pos-1] must equal ref
+        rows = [
+            ["1", "single nucleotide variant", "BRCA1",
+             "Pathogenic; risk factor", "chr1", "9", "A", "G", "GRCh38"],
+            ["2", "Deletion", "TP53", "Benign", "chr1", "13", "ACG", "A",
+             "GRCh38"],
+            ["3", "single nucleotide variant", "BRCA2", "Benign",
+             "chr1", "17", "A", "T", "GRCh37"],      # filtered by assembly
+        ]
+        p = tmp_path / "clinvar.tsv"
+        with open(p, "w") as f:
+            f.write("\t".join(cols) + "\n")
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+        return str(p)
+
+    def test_split_and_answer_cleaning(self, tmp_path):
+        from bioreason_tpu.data.curation import (curate_clinvar,
+                                                 read_clinvar_table)
+        rows = read_clinvar_table(self._tsv(tmp_path), assembly="GRCh38")
+        assert len(rows) == 2
+        assert [r["variant_class"] for r in rows] == ["snv", "non_snv"]
+
+        contigs = {"chr1": self.GENOME}
+        coding = curate_clinvar(contigs, rows, "variant_effect_coding",
+                                flank=6)
+        non_snv = curate_clinvar(contigs, rows, "variant_effect_non_snv",
+                                 flank=6)
+        assert len(coding) == 1 and len(non_snv) == 1
+        # coding cleaner: text before ';', lowered (variant_effect.py:26-31)
+        assert coding[0]["answer"] == "pathogenic"
+        assert coding[0]["gene"] == "BRCA1"
+        # the SNV is applied at the window offset
+        ref, var = coding[0]["reference_sequence"], coding[0]["variant_sequence"]
+        assert len(ref) == len(var) and ref != var
+        assert non_snv[0]["answer"] == "benign"
+        # deletion shortens the variant window by len(ref)-len(alt)
+        assert (len(non_snv[0]["reference_sequence"])
+                - len(non_snv[0]["variant_sequence"])) == 2
+
+    def test_ref_mismatch_raises(self, tmp_path):
+        from bioreason_tpu.data.curation import (curate_clinvar,
+                                                 read_clinvar_table)
+        p = tmp_path / "bad.tsv"
+        with open(p, "w") as f:
+            f.write("Chromosome\tPositionVCF\tReferenceAlleleVCF\t"
+                    "AlternateAlleleVCF\tClinicalSignificance\tType\n")
+            f.write("chr1\t9\tG\tT\tBenign\tsingle nucleotide variant\n")
+        rows = read_clinvar_table(str(p))
+        with pytest.raises(ValueError, match="reference allele mismatch"):
+            curate_clinvar({"chr1": self.GENOME}, rows,
+                           "variant_effect_coding", flank=6)
+
+
+class TestPrefetchShutdown:
+    def test_early_abandon_stops_producer(self):
+        """ADVICE r2: breaking out of a prefetch iterator (e.g. --max_steps)
+        must terminate the producer thread instead of leaking it blocked on
+        a full queue."""
+        import threading
+        import time
+        from bioreason_tpu.train.dataflow import prefetch
+
+        before = threading.active_count()
+        it = prefetch(iter(range(1000)), depth=2)
+        assert next(it) == 0
+        it.close()                       # the --max_steps break path
+        for _ in range(50):              # worker exits within ~100ms poll
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_full_queue_at_exhaustion_still_terminates(self):
+        """The sentinel must arrive even when the buffer is full at iterator
+        exhaustion (slow consumer)."""
+        import time
+        from bioreason_tpu.train.dataflow import prefetch
+        it = prefetch(iter([1, 2, 3]), depth=1)
+        time.sleep(0.3)                  # producer fills buffer + blocks
+        assert list(it) == [1, 2, 3]     # must not hang
