@@ -19,12 +19,31 @@ def main():
     v = jax.random.normal(jax.random.PRNGKey(2), (B, T, HKV, D), jnp.bfloat16)
     mask = jnp.ones((B, T), jnp.int32)
 
-    for bq, bk in [(128, 128), (128, 256), (256, 128), (256, 256), (128, 384),
-                   (384, 128), (256, 384)]:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bwd", action="store_true",
+                    help="time fwd+bwd (the training-step mix) instead of fwd")
+    args = ap.parse_args()
+
+    shapes = [(128, 128), (128, 256), (256, 128), (256, 256), (128, 384),
+              (384, 128), (256, 384), (384, 256), (384, 384), (256, 768),
+              (384, 768), (768, 256), (768, 384), (768, 768)]
+    for bq, bk in shapes:
         if T % bq or T % bk:
             continue
-        f = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(
-            q, k, v, kv_mask=mask, causal=True, block_q=bq, block_k=bk))
+
+        def fwd_only(q, k, v, bq=bq, bk=bk):
+            return flash_attention(q, k, v, kv_mask=mask, causal=True,
+                                   block_q=bq, block_k=bk)
+
+        def fwd_bwd(q, k, v, bq=bq, bk=bk):
+            def loss(q):
+                o = flash_attention(q, k, v, kv_mask=mask, causal=True,
+                                    block_q=bq, block_k=bk)
+                return jnp.sum(o.astype(jnp.float32))
+            return jax.grad(loss)(q)
+
+        f = jax.jit(fwd_bwd if args.bwd else fwd_only)
         try:
             o = f(q, k, v)
             _ = float(jnp.sum(o.astype(jnp.float32)))
