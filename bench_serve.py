@@ -105,7 +105,9 @@ def main(argv=None):
         while pending or cb.active.any():
             t = time.perf_counter()
             done.extend(r for r in cb.admit_many(pending) if r.done)
-            jax.block_until_ready(cb.prompt_pool[0]["k"])
+            # no forced sync here: admission work is dispatched async and its
+            # host wait (first-token transfer) is the natural phase boundary;
+            # a block_until_ready would serialize admit against decode
             phase["admit"] += time.perf_counter() - t
             t = time.perf_counter()
             done.extend(cb.step_window(args.window))

@@ -170,9 +170,12 @@ class ContinuousBatcher:
         logits = L.lm_logits(params["decoder"], last_h[:, None, :])
         return cache, logits[:, 0, :], last_h
 
-    def _first_tokens(self, rng, logits, allow=None):
+    def _first_tokens(self, rng, logits, allow=None, gather=None):
         """First token after prefill, per row: (greedy, sampled) — the host
-        picks per request. One jitted call instead of eager op dispatch."""
+        picks per request. One jitted call instead of eager op dispatch.
+        `gather` maps fan-out rows to prefill rows (dedupe), in-jit."""
+        if gather is not None:
+            logits = logits[gather]
         if allow is not None:
             logits = jnp.where(allow, logits, jnp.asarray(-1e9, logits.dtype))
         s = self.sampling
@@ -187,13 +190,17 @@ class ContinuousBatcher:
         logits = L.lm_logits(params["decoder"], hidden[:, None, :])[:, 0, :]
         return self._first_tokens(rng, logits, allow)
 
-    def _write_slot(self, pool, slot_kv, slots: jnp.ndarray):
+    def _write_slot(self, pool, slot_kv, slots: jnp.ndarray, gather=None):
         """Scatter a prefilled [K,P] KV batch into rows `slots` of the
         prompt pool at offset 0 (quantizing on the way in when the pool is
         int8). Out-of-range slots (admission batch padding) are dropped.
-        `slots` may repeat a source row (same-batch prompt dedupe fans one
-        prefilled row out to several slots via a prior host-side gather)."""
+        `gather` (same-batch prompt dedupe) fans row gather[j] of the
+        prefill out to slots[j] — INSIDE the jit, so the fan-out is part of
+        this one device call instead of dozens of eager gather ops (each
+        eager dispatch pays the remote-device round trip)."""
         slots = jnp.atleast_1d(slots)
+        if gather is not None:
+            slot_kv = jax.tree.map(lambda x: x[gather], slot_kv)
         out = []
         for dst, kv in zip(pool, slot_kv):
             p = kv["k"].shape[1]
@@ -451,6 +458,7 @@ class ContinuousBatcher:
         del pending[:len(take)]
 
         to_prefill = []
+        pending_installs = []
         for r in take:
             if r.max_new_tokens > self.max_new:
                 raise ValueError(f"max_new_tokens {r.max_new_tokens} exceeds "
@@ -499,18 +507,26 @@ class ContinuousBatcher:
                 chunk = uniq_reqs[start:start + kp]
                 chunk_req = [j for j, s in enumerate(src)
                              if start <= s < start + kp]
-                self._admit_chunk(chunk, [(reqs[j], src[j] - start)
-                                          for j in chunk_req],
-                                  width, dshape, free)
+                pending_installs.append(self._admit_chunk(
+                    chunk, [(reqs[j], src[j] - start) for j in chunk_req],
+                    width, dshape, free))
                 start += kp
+        # resolve ALL chunks' first tokens with one host wait: every chunk's
+        # prefill/write/sample dispatched asynchronously above, so the
+        # device pipelines them while the host builds the next chunk —
+        # per-chunk syncs were the dominant admission cost over a remote
+        # (tunnelled) device link
+        for rec in pending_installs:
+            self._resolve_install(rec)
         self._dev_dirty = True
         return take
 
     def _admit_chunk(self, uniq_reqs, req_src, width, dshape,
                      free: List[int]):
-        """Prefill `uniq_reqs` (len = exact pow2) and install every
-        (request, unique-row-index) in `req_src` into slots popped from
-        `free` (fan-out by row gather; pow2-padded write scatter)."""
+        """Prefill `uniq_reqs` (len = exact pow2), fan the rows out to slots
+        popped from `free` (pow2-padded write scatter), and dispatch the
+        first-token sample — WITHOUT waiting on the device. Returns the
+        pending-install record `_resolve_install` finishes host-side."""
         kp = len(uniq_reqs)
         ids = np.zeros((kp, width), np.int32)
         mask = np.zeros((kp, width), np.int32)
@@ -528,11 +544,6 @@ class ContinuousBatcher:
                 dna[i * rows:(i + 1) * rows] = np.asarray(r.dna_input_ids)
                 dmask[i * rows:(i + 1) * rows] = np.asarray(
                     r.dna_attention_mask)
-            dna, dmask = jnp.asarray(dna), jnp.asarray(dmask)
-        kv, last_logits, last_h = self._jit_prefill(
-            self.params, jnp.asarray(ids), jnp.asarray(mask), dna, dmask)
-        self.prefill_calls += 1
-
         n_req = len(req_src)
         np_ = self._pow2_bucket(n_req)
         gather = np.zeros((np_,), np.int32)
@@ -540,21 +551,36 @@ class ContinuousBatcher:
         slots = np.full((np_,), self.capacity, np.int32)      # pad rows: drop
         slots[:n_req] = free[:n_req]
         del free[:n_req]
-        kv_fanned = jax.tree.map(lambda x: x[jnp.asarray(gather)], kv)
-        self.prompt_pool = self._jit_write(self.prompt_pool, kv_fanned,
-                                           jnp.asarray(slots))
+
+        # ONE host->device transfer for all chunk inputs
+        if dna is None:
+            ids_d, mask_d, gather_d, slots_d = jax.device_put(
+                (ids, mask, gather, slots))
+            dna_d = dmask_d = None
+        else:
+            ids_d, mask_d, dna_d, dmask_d, gather_d, slots_d = jax.device_put(
+                (ids, mask, dna, dmask, gather, slots))
+        kv, last_logits, last_h = self._jit_prefill(
+            self.params, ids_d, mask_d, dna_d, dmask_d)
+        self.prefill_calls += 1
+
+        self.prompt_pool = self._jit_write(self.prompt_pool, kv, slots_d,
+                                           gather_d)
         if self.prefix_cache:
             self._last_hidden = self._jit_keep_hidden(
-                self._last_hidden, last_h[jnp.asarray(gather)],
-                jnp.asarray(slots))
+                self._last_hidden, last_h[gather_d], slots_d)
         allow = None
         if self.guided is not None:
             allow_np = self._g_next_np[0] != self.guided.dead
             allow_np[self.guided.eos_token_id] = bool(self._g_acc_np[0])
             allow = jnp.asarray(allow_np)
         self._rng, rk = jax.random.split(self._rng)
-        greedy_toks, sampled = self._jit_first(
-            rk, last_logits[jnp.asarray(gather)], allow)
+        greedy_toks, sampled = self._jit_first(rk, last_logits, allow,
+                                               gather_d)
+        return (req_src, slots, mask, width, greedy_toks, sampled)
+
+    def _resolve_install(self, rec):
+        req_src, slots, mask, width, greedy_toks, sampled = rec
         greedy_toks, sampled = np.asarray(greedy_toks), np.asarray(sampled)
         for i, (r, s) in enumerate(req_src):
             tok = int(greedy_toks[i] if r.greedy else sampled[i])
@@ -727,14 +753,16 @@ class ContinuousBatcher:
                         dmask = jnp.zeros((kp * rows, ldna), jnp.int32)
                     kv, logits, last_h = self._jit_prefill(
                         self.params, ids, mask, dna, dmask)
+                    gather = jnp.arange(kp, dtype=jnp.int32)
                     self.prompt_pool = self._jit_write(
-                        self.prompt_pool, kv, jnp.broadcast_to(drop, (kp,)))
+                        self.prompt_pool, kv, jnp.broadcast_to(drop, (kp,)),
+                        gather)
                     if self.prefix_cache:
                         self._last_hidden = self._jit_keep_hidden(
                             self._last_hidden, last_h,
                             jnp.broadcast_to(drop, (kp,)))
                     self._rng, rk = jax.random.split(self._rng)
-                    self._jit_first(rk, logits, None)
+                    self._jit_first(rk, logits, None, gather)
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
         for w in windows:
