@@ -140,7 +140,7 @@ class ContinuousBatcher:
 
         self._jit_prefill = jax.jit(self._prefill)
         self._jit_write = jax.jit(self._write_slot, donate_argnums=(0,))
-        self._jit_multi = {}                  # window size -> jitted multi-step
+        self._jit_multi = {}          # (window, hist width) -> jitted steps
         self._jit_first = jax.jit(self._first_tokens)
         # device-resident decode state (see _upload_state / step_window)
         self._dev_state = None
@@ -268,7 +268,7 @@ class ContinuousBatcher:
 
     def _multi_step(self, params, prompt_pool, dec_pool, prompt_mask,
                     last_token, positions, dec_len, active, greedy_row, rng,
-                    gstate, g_next=None, g_acc=None, *, k: int):
+                    gstate, g_next=None, g_acc=None, *, k: int, w: int):
         """`k` decode steps fully on device: host<->device sync drops from
         per-token to per-window. The scan carries ONLY this window's K/V
         ([C,k] per layer) plus scalar-per-row state; the prompt pool is a
@@ -277,7 +277,15 @@ class ContinuousBatcher:
         Rows that hit EOS mid-window go inactive ON DEVICE; rows that exceed
         their max_new_tokens keep decoding until the window ends and the
         host discards the overrun (bounded by k-1 tokens; overflow writes
-        drop)."""
+        drop).
+
+        `w` (static): decode-HISTORY read width. The host knows every
+        row's dec_len between windows, so attention reads only the first
+        `w >= max(dec_len[active])` decode-pool columns (an in-jit slice —
+        XLA never touches the rest) instead of streaming all N_max columns
+        of the [C, N_max] pool every step. Early in requests' lives this
+        cuts the decode step's dominant HBM traffic; the window fold-in
+        scatter still targets the full pool."""
         cfg = self.cfg.decoder
         s = self.sampling
         dtype = jnp.dtype(cfg.dtype)
@@ -287,7 +295,8 @@ class ContinuousBatcher:
 
         # decode-history validity is FIXED for the whole window: this
         # window's tokens live in the window buffer, not the decode pool
-        dec_hist_mask = (jnp.arange(self.max_new)[None, :]
+        dec_view = [jax.tree.map(lambda x: x[:, :w], e) for e in dec_pool]
+        dec_hist_mask = (jnp.arange(w)[None, :]
                          < dec_len[:, None]).astype(jnp.int32)
         win_kv = [(jnp.zeros((c, k, hkv, d), dtype),
                    jnp.zeros((c, k, hkv, d), dtype))
@@ -322,7 +331,7 @@ class ContinuousBatcher:
                 new_win.append((wk, wv))
 
                 a = self._slot_attention(q, prompt_pool[i], prompt_mask,
-                                         dec_pool[i], dec_hist_mask,
+                                         dec_view[i], dec_hist_mask,
                                          wk, wv, win_mask)
                 h = h + L.dense(lp["attn"]["o"], a.reshape(c, 1, -1), dtype)
                 x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
@@ -507,26 +516,36 @@ class ContinuousBatcher:
                 chunk = uniq_reqs[start:start + kp]
                 chunk_req = [j for j, s in enumerate(src)
                              if start <= s < start + kp]
-                pending_installs.append(self._admit_chunk(
+                pending_installs.append(self._build_chunk(
                     chunk, [(reqs[j], src[j] - start) for j in chunk_req],
                     width, dshape, free))
                 start += kp
-        # resolve ALL chunks' first tokens with one host wait: every chunk's
-        # prefill/write/sample dispatched asynchronously above, so the
-        # device pipelines them while the host builds the next chunk —
-        # per-chunk syncs were the dominant admission cost over a remote
-        # (tunnelled) device link
-        for rec in pending_installs:
-            self._resolve_install(rec)
+        # ONE host->device transfer for EVERY chunk's inputs (each
+        # device_put over a tunnelled device link pays a round trip), then
+        # dispatch every chunk's prefill/write/sample asynchronously, then
+        # resolve ALL chunks' first tokens with one host wait — per-chunk
+        # syncs were the dominant admission cost over the remote link
+        if pending_installs:
+            flat = [a for rec in pending_installs for a in rec[0]]
+            flat = list(jax.device_put(tuple(flat)))
+            self._rng, *keys = jax.random.split(
+                self._rng, len(pending_installs) + 1)
+            records = []
+            for rec, rk in zip(pending_installs, keys):
+                n = len(rec[0])
+                records.append(self._dispatch_chunk(flat[:n], rec, rk))
+                del flat[:n]
+            for rec in records:
+                self._resolve_install(rec)
         self._dev_dirty = True
         return take
 
-    def _admit_chunk(self, uniq_reqs, req_src, width, dshape,
+    def _build_chunk(self, uniq_reqs, req_src, width, dshape,
                      free: List[int]):
-        """Prefill `uniq_reqs` (len = exact pow2), fan the rows out to slots
-        popped from `free` (pow2-padded write scatter), and dispatch the
-        first-token sample — WITHOUT waiting on the device. Returns the
-        pending-install record `_resolve_install` finishes host-side."""
+        """Assemble one admission chunk's host-side arrays (len(uniq_reqs)
+        = exact pow2 of unique prompts; fan-out rows map to slots popped
+        from `free`). No device work — admit_many uploads every chunk's
+        arrays in ONE device_put and then dispatches them."""
         kp = len(uniq_reqs)
         ids = np.zeros((kp, width), np.int32)
         mask = np.zeros((kp, width), np.int32)
@@ -551,15 +570,20 @@ class ContinuousBatcher:
         slots = np.full((np_,), self.capacity, np.int32)      # pad rows: drop
         slots[:n_req] = free[:n_req]
         del free[:n_req]
+        arrays = ((ids, mask, gather, slots) if dna is None
+                  else (ids, mask, dna, dmask, gather, slots))
+        return (arrays, req_src, slots, mask, width)
 
-        # ONE host->device transfer for all chunk inputs
-        if dna is None:
-            ids_d, mask_d, gather_d, slots_d = jax.device_put(
-                (ids, mask, gather, slots))
+    def _dispatch_chunk(self, dev_arrays, rec, rk):
+        """Dispatch one built chunk's prefill -> in-jit KV fan-out/scatter
+        -> first-token sample, WITHOUT waiting on the device. Returns the
+        pending-install record `_resolve_install` finishes host-side."""
+        _, req_src, slots, mask, width = rec
+        if len(dev_arrays) == 4:
+            ids_d, mask_d, gather_d, slots_d = dev_arrays
             dna_d = dmask_d = None
         else:
-            ids_d, mask_d, dna_d, dmask_d, gather_d, slots_d = jax.device_put(
-                (ids, mask, dna, dmask, gather, slots))
+            ids_d, mask_d, dna_d, dmask_d, gather_d, slots_d = dev_arrays
         kv, last_logits, last_h = self._jit_prefill(
             self.params, ids_d, mask_d, dna_d, dmask_d)
         self.prefill_calls += 1
@@ -574,7 +598,6 @@ class ContinuousBatcher:
             allow_np = self._g_next_np[0] != self.guided.dead
             allow_np[self.guided.eos_token_id] = bool(self._g_acc_np[0])
             allow = jnp.asarray(allow_np)
-        self._rng, rk = jax.random.split(self._rng)
         greedy_toks, sampled = self._jit_first(rk, last_logits, allow,
                                                gather_d)
         return (req_src, slots, mask, width, greedy_toks, sampled)
@@ -665,6 +688,22 @@ class ContinuousBatcher:
         this step. The newly decoded token is appended to each request."""
         return self.step_window(1)
 
+    def _hist_bucket(self, n: int) -> int:
+        """Decode-history width bucket: smallest multiple of 32 covering
+        `n`, clamped to N_max. 0 when no row has history yet (fresh pool)."""
+        return min(self.max_new, ((n + 31) // 32) * 32)
+
+    def _get_multi(self, k: int, w: int):
+        if (k, w) not in self._jit_multi:
+            import functools
+            # donate the decode pool and the per-row state (all returned);
+            # prompt pool/mask and greedy_row are REUSED across calls and
+            # must survive. gstate is positional so its donation applies.
+            self._jit_multi[(k, w)] = jax.jit(
+                functools.partial(self._multi_step, k=k, w=w),
+                donate_argnums=(2, 4, 5, 6, 7, 9, 10))
+        return self._jit_multi[(k, w)]
+
     def _upload_state(self):
         """Push the host scheduling mirrors to device. Needed only when they
         diverged from the device copies: after admissions and finishes. In
@@ -684,20 +723,13 @@ class ContinuousBatcher:
         (everything but the sampled token is deterministic)."""
         if not self.active.any():
             return []
-        if k not in self._jit_multi:
-            import functools
-            # donate the decode pool and the per-row state (all returned);
-            # prompt pool/mask and greedy_row are REUSED across calls and
-            # must survive. gstate is positional so its donation applies.
-            self._jit_multi[k] = jax.jit(
-                functools.partial(self._multi_step, k=k),
-                donate_argnums=(2, 4, 5, 6, 7, 9, 10))
+        w = self._hist_bucket(int(self.dec_len[self.active].max(initial=0)))
         if self._dev_state is None or self._dev_dirty:
             self._upload_state()
         pmask, last, pos, dlen, act, gst = self._dev_state
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
-        carry, toks = self._jit_multi[k](
+        carry, toks = self._get_multi(k, w)(
             self.params, self.prompt_pool, self.dec_pool, pmask, last, pos,
             dlen, act, self._dev_greedy, self._rng, gst, **gkw)
         (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
@@ -765,20 +797,23 @@ class ContinuousBatcher:
                     self._jit_first(rk, logits, None, gather)
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
-        for w in windows:
-            w = max(1, w)
-            if w not in self._jit_multi:
-                import functools
-                self._jit_multi[w] = jax.jit(
-                    functools.partial(self._multi_step, k=w),
-                    donate_argnums=(2, 4, 5, 6, 7, 9, 10))
-            carry, _ = self._jit_multi[w](
-                self.params, self.prompt_pool, self.dec_pool,
-                jnp.asarray(self.prompt_mask), jnp.asarray(self.last_token),
-                jnp.asarray(self.positions), jnp.asarray(self.dec_len),
-                jnp.asarray(self.active), jnp.asarray(self.greedy_row),
-                self._rng, jnp.asarray(self.gstate), **gkw)
-            self.dec_pool, self._rng = carry[0], carry[5]
+        hist = []
+        hb = 0
+        while hb < self.max_new:
+            hist.append(hb)
+            hb += 32
+        hist.append(self.max_new)
+        for win in windows:
+            win = max(1, win)
+            for hb in hist:
+                carry, _ = self._get_multi(win, hb)(
+                    self.params, self.prompt_pool, self.dec_pool,
+                    jnp.asarray(self.prompt_mask),
+                    jnp.asarray(self.last_token),
+                    jnp.asarray(self.positions), jnp.asarray(self.dec_len),
+                    jnp.asarray(self.active), jnp.asarray(self.greedy_row),
+                    self._rng, jnp.asarray(self.gstate), **gkw)
+                self.dec_pool, self._rng = carry[0], carry[5]
         self._dev_dirty = True
 
     def run(self, requests: List[Request], window: int = 1) -> List[Request]:
