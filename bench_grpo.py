@@ -25,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient-accumulation micro-steps per optimizer "
                          "update (GRPOConfig.grad_accum_steps)")
+    ap.add_argument("--frozen", default="bfloat16",
+                    choices=["bfloat16", "int8"],
+                    help="frozen-tower storage in the TRAINING tree "
+                         "(GRPOConfig.frozen_dtype); int8 + --rollout_int8 "
+                         "shares one quantized tower between training and "
+                         "rollouts — required to fit qwen3-4b on one v5e")
     ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--G", type=int, default=4)
     args = ap.parse_args(argv)
@@ -55,6 +61,7 @@ def main(argv=None):
     cfg = GRPOConfig(
         num_generations=G, batch_size=PROMPTS * G, beta=0.04,
         rollout_int8=args.rollout_int8, grad_accum_steps=args.accum,
+        frozen_dtype=args.frozen,
         max_completion_length=NEW,
         sampling=SamplingConfig(max_new_tokens=NEW),
         optim=OptimConfig(learning_rate=5e-6, total_steps=100),

@@ -294,6 +294,13 @@ class GRPOConfig:
     # grad_accum_steps calls with the running-mean gradient — 4B-class GRPO
     # fits on-chip with the effective batch it needs.
     grad_accum_steps: int = 1
+    # int8 storage for the frozen towers in the TRAINING tree too (QLoRA
+    # recipe, same as SFTConfig.frozen_dtype): policy/ref/old logp passes
+    # dequantize inside the layer scan, and the rollout-int8 copy SHARES
+    # the already-quantized kernel buffers (only embed/lm_head re-quantize
+    # per rollout) — the configuration that fits Qwen3-4B-class GRPO on one
+    # 16 GB v5e chip. Requires LoRA.
+    frozen_dtype: str = "bfloat16"
     optim: OptimConfig = field(default_factory=lambda: OptimConfig(learning_rate=5e-6))
     lora: Optional[LoRAConfig] = field(default_factory=LoRAConfig)
     # TR-DPO-style ref sync (grpo_config.py:320-341)

@@ -36,14 +36,14 @@ class TestRewards:
                                         "less_than_4", "correctness"}
 
 
-def make_trainer(G=2, batch=4, beta=0.04, mu=1):
+def make_trainer(G=2, batch=4, beta=0.04, mu=1, **kw):
     fusion = FusionConfig.tiny(text_vocab=TOK.vocab_size, dna_pad_token_id=TOK.dna_pad_id)
     cfg = GRPOConfig(
         num_generations=G, batch_size=batch, beta=beta, num_iterations=mu,
         max_completion_length=8,
         sampling=SamplingConfig(temperature=1.0, top_k=10, top_p=0.95, max_new_tokens=8),
         optim=OptimConfig(learning_rate=1e-3, total_steps=10),
-        lora=LoRAConfig(r=4, alpha=8))
+        lora=kw.pop("lora", LoRAConfig(r=4, alpha=8)), **kw)
     mesh = make_mesh(MeshConfig(data=4, fsdp=2, model=1))
     return GRPOTrainer(fusion, cfg, PROC,
                        [REWARD_REGISTRY["correctness"], REWARD_REGISTRY["xmlcount"]],
@@ -86,11 +86,50 @@ class TestGRPOTrainer:
         trainer = make_trainer(G=2, batch=4, beta=0.0, mu=2)
         items = make_items(2, 2)
         trainer.step(items)
-        buf1 = trainer._buffer
+        buf1 = trainer._buffers[0]
         trainer.step(items)          # mu=2: second step must reuse the buffer
-        assert trainer._buffer is buf1
+        assert trainer._buffers[0] is buf1
         trainer.step(items)          # third step regenerates
-        assert trainer._buffer is not buf1
+        assert trainer._buffers[0] is not buf1
+
+    def test_ref_policy_shares_frozen_buffers_under_lora(self):
+        # the ref tree must alias the frozen tower buffers (never donated)
+        # instead of deep-copying ~tower-size HBM (at 4B that copy alone is
+        # ~8 GB); only the TRAINABLE leaves surviving strip_lora (the
+        # dna_projection) are copies, because the update donates them
+        trainer = make_trainer(G=2, batch=4, beta=0.04)
+        frozen_ids = {id(l) for l in jax.tree.leaves(trainer.frozen_leaves)}
+        import jax.tree_util as jtu
+        copied = [jtu.keystr(p)
+                  for p, l in jtu.tree_flatten_with_path(trainer._ref_params)[0]
+                  if id(l) not in frozen_ids]
+        assert copied and all("dna_projection" in k for k in copied), copied
+
+    def test_frozen_int8_step_runs_and_rollout_shares_kernels(self):
+        trainer = make_trainer(G=2, batch=4, beta=0.04, frozen_dtype="int8",
+                               rollout_int8=True)
+        # training tree holds int8 kernels
+        import jax.numpy as jnp
+        kinds = {l.dtype for l in jax.tree.leaves(trainer.frozen_leaves)
+                 if hasattr(l, "dtype")}
+        assert jnp.int8 in kinds
+        m = trainer.step(make_items(2, 2))
+        assert np.isfinite(m["loss"])
+        # rollout quantization must not duplicate already-int8 kernels
+        from bioreason_tpu.train import trainable as T
+        params = T.combine(trainer.partition, trainer.train_leaves,
+                           trainer.frozen_leaves)
+        rp = trainer._rollout_params(params)
+        dec = params["decoder"]["layers"]["attn"]["q"]["kernel"]
+        rdec = rp["decoder"]["layers"]["attn"]["q"]["kernel"]
+        assert rdec["q"] is dec["q"]
+
+    def test_frozen_int8_validation(self):
+        with pytest.raises(ValueError, match="requires LoRA"):
+            make_trainer(G=2, batch=4, frozen_dtype="int8", lora=None)
+        with pytest.raises(ValueError, match="sync_ref_model"):
+            make_trainer(G=2, batch=4, frozen_dtype="int8",
+                         sync_ref_model=True)
 
     def test_advantages_group_normalized(self):
         trainer = make_trainer(G=2, batch=4, beta=0.0)
