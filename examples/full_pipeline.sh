@@ -107,4 +107,36 @@ for TASK in variant_effect_coding variant_effect_non_snv; do
       --checkpoint_dir "$OUT/sft_$TASK" --log_dir "$OUT/logs_$TASK"
 done
 
+echo "== 7. KEGG reasoning-trace generation -> SFT items =="
+# the local rebuild of BioReasoning_DataCuration_KEGG.ipynb (API-driven
+# trace generation): variant TSV -> analyses JSON -> KEGG items JSONL
+python - <<'EOF'
+import json
+cols = ["Var_ID", "ENTRY", "Chr", "Start", "RefAllele", "AltAllele",
+        "Network Definition", "Gene", "Disease"]
+rows = [
+    ["rs1", "hsa:3845", "12", "25245350", "C", "T",
+     "EGFR-RAS-RAF signaling", json.dumps({"hsa:3845": "KRAS; GTPase"}),
+     json.dumps({"Pancreatic cancer": "H00018"})],
+    ["rs2", "hsa:7157", "17", "7674220", "G", "A",
+     "p53 DNA damage response", json.dumps({"hsa:7157": "TP53; tumor protein"}),
+     json.dumps({"Li-Fraumeni syndrome": "H00881"})],
+]
+with open("/tmp/bioreason_pipeline_kegg.tsv", "w") as f:
+    f.write("\t".join(cols) + "\n")
+    for r in rows:
+        f.write("\t".join(r) + "\n")
+EOF
+python -m bioreason_tpu.cli.make_traces \
+    --tsv /tmp/bioreason_pipeline_kegg.tsv \
+    --out "$OUT/all_variant_analyses.json" \
+    --items_out "$OUT/kegg_traced_items.jsonl"
+python - "$OUT/all_variant_analyses.json" <<'EOF'
+import json, sys
+data = json.load(open(sys.argv[1]))
+assert len(data) == 2 and all(
+    8 <= len(a["reasoning"]["reasoning_steps"]) <= 12 for a in data)
+print("traces ok:", [a["reasoning"]["variant_id"] for a in data])
+EOF
+
 echo "== pipeline complete; artifacts in $OUT =="
