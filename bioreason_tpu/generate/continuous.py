@@ -142,6 +142,9 @@ class ContinuousBatcher:
         self._jit_write = jax.jit(self._write_slot, donate_argnums=(0,))
         self._jit_multi = {}          # (window, hist width) -> jitted steps
         self._jit_first = jax.jit(self._first_tokens)
+        self._jit_fix_first = jax.jit(self._fix_first)
+        self._pending_first: List[tuple] = []    # deferred install records
+        self._finished_backlog: List[Request] = []
         # device-resident decode state (see _upload_state / step_window)
         self._dev_state = None
         self._dev_greedy = None
@@ -460,6 +463,10 @@ class ContinuousBatcher:
         once and fan out by row-scatter. Group batch sizes pad to powers of
         two (bounded compile count); padded rows scatter to an out-of-range
         slot with mode='drop'. Prefix-cache hits skip prefill entirely."""
+        if self._pending_first:
+            # slot accounting below needs exact state (EOS first tokens
+            # free slots); normally step_window already resolved these
+            self._finished_backlog.extend(self._resolve_pending())
         free = self._free_slots()
         take = pending[:len(free)]
         if not take:
@@ -522,21 +529,33 @@ class ContinuousBatcher:
                 start += kp
         # ONE host->device transfer for EVERY chunk's inputs (each
         # device_put over a tunnelled device link pays a round trip), then
-        # dispatch every chunk's prefill/write/sample asynchronously, then
-        # resolve ALL chunks' first tokens with one host wait — per-chunk
-        # syncs were the dominant admission cost over the remote link
+        # dispatch every chunk's prefill/write/sample asynchronously. The
+        # first tokens are NOT resolved here: slots install with a
+        # placeholder and the next decode window patches them in ON DEVICE
+        # (_jit_fix_first), so the host wait for the first-token transfer
+        # overlaps the window compute instead of blocking admission.
+        # Guided decoding and <=1-token requests resolve eagerly (their
+        # install bookkeeping depends on the token value).
         if pending_installs:
             flat = [a for rec in pending_installs for a in rec[0]]
             flat = list(jax.device_put(tuple(flat)))
             self._rng, *keys = jax.random.split(
                 self._rng, len(pending_installs) + 1)
-            records = []
             for rec, rk in zip(pending_installs, keys):
                 n = len(rec[0])
-                records.append(self._dispatch_chunk(flat[:n], rec, rk))
+                done_rec = self._dispatch_chunk(flat[:n], rec, rk)
                 del flat[:n]
-            for rec in records:
-                self._resolve_install(rec)
+                eager = (self.guided is not None
+                         or any(r.max_new_tokens <= 1
+                                for r, _ in done_rec[0]))
+                if eager:
+                    self._resolve_install(done_rec)
+                else:
+                    req_src, slots, _, mask, width, _, _ = done_rec
+                    for i, (r, s) in enumerate(req_src):
+                        self._install_deferred(r, int(slots[i]),
+                                               mask[s, :width], width)
+                    self._pending_first.append(done_rec)
         self._dev_dirty = True
         return take
 
@@ -600,14 +619,67 @@ class ContinuousBatcher:
             allow = jnp.asarray(allow_np)
         greedy_toks, sampled = self._jit_first(rk, last_logits, allow,
                                                gather_d)
-        return (req_src, slots, mask, width, greedy_toks, sampled)
+        return (req_src, slots, slots_d, mask, width, greedy_toks, sampled)
 
     def _resolve_install(self, rec):
-        req_src, slots, mask, width, greedy_toks, sampled = rec
+        req_src, slots, _, mask, width, greedy_toks, sampled = rec
         greedy_toks, sampled = np.asarray(greedy_toks), np.asarray(sampled)
         for i, (r, s) in enumerate(req_src):
             tok = int(greedy_toks[i] if r.greedy else sampled[i])
             self._install(r, int(slots[i]), tok, mask[s, :width], width)
+
+    def _install_deferred(self, req: Request, slot: int,
+                          mask_row: np.ndarray, width: int):
+        """Token-independent half of _install: the slot goes live with a
+        placeholder last_token; the device patches the real first token in
+        at the next window (_jit_fix_first) and _resolve_pending patches
+        the host mirrors while that window computes."""
+        req.slot = slot
+        self._by_slot[slot] = req
+        self.prompt_mask[slot] = 0
+        self.prompt_mask[slot, :width] = mask_row
+        self.positions[slot] = req.prompt_len
+        self.dec_len[slot] = 0
+        self.last_token[slot] = 0                  # patched on device
+        self.active[slot] = True
+        self.greedy_row[slot] = req.greedy
+        if self.prefix_cache:
+            self._evict_retained(slot)
+            self._slot_key[slot] = None
+
+    def _fix_first(self, last_token, active, slots, greedy_toks, sampled,
+                   greedy_row):
+        """Patch one pending chunk's first tokens into the device decode
+        state (device->device, no host sync): choose greedy vs sampled per
+        row, set last_token, deactivate first-token-EOS rows — the same
+        advance _resolve_pending replays on the host mirrors."""
+        idx = jnp.clip(slots, 0, self.capacity - 1)
+        tok = jnp.where(greedy_row[idx], greedy_toks, sampled)
+        last_token = last_token.at[slots].set(tok, mode="drop")
+        active = active.at[slots].set(tok != self.eos, mode="drop")
+        return last_token, active
+
+    def _resolve_pending(self) -> List[Request]:
+        """Host-side completion of deferred installs: append first tokens,
+        sync mirrors, finish EOS/quota rows. Called from step_window AFTER
+        the window dispatch (the transfer wait overlaps window compute) or
+        from admit_many/preempt when state must be exact NOW."""
+        finished = []
+        for rec in self._pending_first:
+            req_src, slots, _, _, _, greedy_toks, sampled = rec
+            greedy_toks = np.asarray(greedy_toks)
+            sampled = np.asarray(sampled)
+            for i, (r, _) in enumerate(req_src):
+                slot = int(slots[i])
+                tok = int(greedy_toks[i] if r.greedy else sampled[i])
+                r.tokens.append(tok)
+                self.last_token[slot] = tok
+                if tok == self.eos or len(r.tokens) >= r.max_new_tokens:
+                    self._finish(slot)
+                    finished.append(r)
+                    self._dev_dirty = True
+        self._pending_first.clear()
+        return finished
 
     def _try_reuse(self, req: Request, free: List[int]) -> bool:
         """Prefix-cache hit path: an exact-prompt match against a retained
@@ -667,6 +739,9 @@ class ContinuousBatcher:
         if self.guided is not None:
             raise NotImplementedError(
                 "preemption with guided decoding needs DFA-state replay")
+        if self._pending_first:
+            # the continuation prompt needs the slot's first token
+            self._finished_backlog.extend(self._resolve_pending())
         req = self._by_slot[slot]
         if req is None:
             raise ValueError(f"slot {slot} is not active")
@@ -720,13 +795,24 @@ class ContinuousBatcher:
         ONE device→host transfer (the [k, C] token matrix), and zero
         device→host state syncs: decode state lives on device between
         windows and the host mirrors advance by replaying the tokens
-        (everything but the sampled token is deterministic)."""
+        (everything but the sampled token is deterministic).
+
+        Deferred admissions resolve HERE: their first tokens are patched
+        into the device state (_jit_fix_first, device->device) before the
+        window dispatch, and the host-side resolve runs while the window
+        computes — admission never blocks on a first-token transfer."""
+        finished: List[Request] = list(self._finished_backlog)
+        self._finished_backlog.clear()
         if not self.active.any():
-            return []
+            finished.extend(self._resolve_pending())
+            return finished
         w = self._hist_bucket(int(self.dec_len[self.active].max(initial=0)))
         if self._dev_state is None or self._dev_dirty:
             self._upload_state()
         pmask, last, pos, dlen, act, gst = self._dev_state
+        for rec in self._pending_first:
+            last, act = self._jit_fix_first(last, act, rec[2], rec[5],
+                                            rec[6], self._dev_greedy)
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
         carry, toks = self._get_multi(k, w)(
@@ -734,8 +820,10 @@ class ContinuousBatcher:
             dlen, act, self._dev_greedy, self._rng, gst, **gkw)
         (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
         self._dev_state = (pmask, last, pos, dlen, act, gst)
+        if self._pending_first:
+            # host mirror patch-up overlaps the dispatched window compute
+            finished.extend(self._resolve_pending())
         toks = np.asarray(toks)                 # the ONE transfer
-        finished = []
         for step in range(k):
             act_slots = np.nonzero(self.active)[0]
             if len(act_slots) == 0:
@@ -797,6 +885,14 @@ class ContinuousBatcher:
                     self._jit_first(rk, logits, None, gather)
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
+        for kp in kps:
+            # the deferred-admission device patch, one variant per chunk size
+            self._jit_fix_first(
+                jnp.zeros((self.capacity,), jnp.int32),
+                jnp.zeros((self.capacity,), bool),
+                jnp.broadcast_to(drop, (kp,)),
+                jnp.zeros((kp,), jnp.int32), jnp.zeros((kp,), jnp.int32),
+                jnp.zeros((self.capacity,), bool))
         hist = []
         hb = 0
         while hb < self.max_new:
@@ -821,7 +917,9 @@ class ContinuousBatcher:
         `window`: decode steps per host round trip (step_window)."""
         pending = list(requests)
         done: List[Request] = []
-        while pending or self.active.any():
+        while pending or self.active.any() or self._pending_first:
             done.extend(r for r in self.admit_many(pending) if r.done)
             done.extend(self.step_window(window) if window > 1 else self.step())
+        done.extend(self._finished_backlog)
+        self._finished_backlog.clear()
         return done

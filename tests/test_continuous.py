@@ -163,6 +163,44 @@ class TestContinuousBatching:
         assert a.tokens == want
 
 
+class TestDeferredAdmission:
+    def test_first_token_eos_resolves_via_window(self, setup):
+        # admissions defer first-token resolution to the next window; a
+        # request whose FIRST token is EOS must come back finished from
+        # step_window (the deferred-resolve path), free its slot, and
+        # not contaminate the surviving rows
+        cfg, params, engine = setup
+        probe = _make_request(0, "probe", max_new=4)
+        first = _engine_greedy(engine, params, probe)[0]
+        cb = ContinuousBatcher(params, cfg, eos_token_id=first,
+                               capacity=2, max_len=256, max_new=8,
+                               prompt_bucket=64)
+        r0 = _make_request(0, "probe", max_new=4)
+        r1 = _make_request(1, "another prompt", max_new=4)
+        admitted = cb.admit_many([r0, r1])
+        assert len(admitted) == 2
+        assert cb._pending_first            # resolution actually deferred
+        assert not r0.done                  # not known yet
+        fin = cb.step_window(4)
+        assert r0 in fin and r0.done
+        assert r0.tokens == [first]
+        # its slot freed; the other request decodes on
+        done = cb.run([], window=4)
+        assert r1 in done + fin and r1.done
+        assert r1.tokens == _engine_greedy(engine, params,
+                                           r1)[:len(r1.tokens)]
+
+    def test_max_new_one_resolves_eagerly(self, setup):
+        cfg, params, engine = setup
+        cb = ContinuousBatcher(params, cfg, eos_token_id=-1,
+                               capacity=2, max_len=256, max_new=8,
+                               prompt_bucket=64)
+        r = _make_request(0, "single token request", max_new=1)
+        out = cb.admit_many([r])
+        assert not cb._pending_first        # quota rows resolve at admit
+        assert out[0].done and len(out[0].tokens) == 1
+
+
 class TestPrefixCacheAndPreemption:
     def test_same_batch_dedupe_matches_engine(self, setup):
         """Identical prompts admitted together prefill ONCE (fan-out by
