@@ -39,6 +39,12 @@ def main(argv=None):
                     help="requests per unique prompt (>1 exercises the "
                          "same-batch prompt dedupe + prefix cache: GRPO-"
                          "style G-completion serving)")
+    ap.add_argument("--probe", action="store_true",
+                    help="print step_window host-phase timers (upload/"
+                         "dispatch/toks_wait/replay) and mean occupancy")
+    ap.add_argument("--no_pipeline", action="store_true",
+                    help="use the serial admit/step_window loop instead of "
+                         "run_pipelined (one window always in flight)")
     args = ap.parse_args(argv)
     if not args.requests:
         args.requests = 3 * args.capacity
@@ -101,6 +107,9 @@ def main(argv=None):
     def run():
         reqs = [make_request(i, lengths[i % len(lengths)])
                 for i in range(args.requests)]
+        if not args.no_pipeline:
+            done = cb.run_pipelined(reqs, window=args.window)
+            return sum(len(r.tokens) for r in done)
         pending, done = list(reqs), []
         while pending or cb.active.any():
             t = time.perf_counter()
@@ -116,11 +125,23 @@ def main(argv=None):
 
     run()                                    # residual warm (first-token path)
     phase["admit"] = phase["decode"] = 0.0
+    if args.probe:
+        cb.timers = {}
     t0 = time.perf_counter()
     total = run() + run()
     dt = time.perf_counter() - t0
     print(f"phase split: admit {phase['admit']:.2f}s "
           f"decode {phase['decode']:.2f}s of {dt:.2f}s", file=sys.stderr)
+    if args.probe:
+        tm = cb.timers
+        nw = max(tm.get("windows", 0), 1)
+        print("window probe: "
+              + " ".join(f"{k}={tm[k]:.2f}s" for k in
+                         ("upload", "dispatch", "toks_wait", "replay")
+                         if k in tm)
+              + f" windows={tm.get('windows', 0)}"
+              f" mean_occupancy={tm.get('rows', 0) / (nw * args.capacity):.2f}",
+              file=sys.stderr)
 
     tokens_per_sec = total / dt
     print(json.dumps({

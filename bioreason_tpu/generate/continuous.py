@@ -35,6 +35,7 @@ happy with STATIC shapes:
 
 from __future__ import annotations
 
+import time
 from collections import OrderedDict
 from typing import List, Optional
 
@@ -143,12 +144,22 @@ class ContinuousBatcher:
         self._jit_multi = {}          # (window, hist width) -> jitted steps
         self._jit_first = jax.jit(self._first_tokens)
         self._jit_fix_first = jax.jit(self._fix_first)
+        # pipelined mode: installs/retires patch device rows in place of
+        # full mirror uploads (run_pipelined)
+        self.pipelined = False
+        self._patch_slots: set = set()
+        self._jit_patch = jax.jit(self._patch_rows,
+                                  donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._pending_first: List[tuple] = []    # deferred install records
         self._finished_backlog: List[Request] = []
         # device-resident decode state (see _upload_state / step_window)
         self._dev_state = None
         self._dev_greedy = None
         self._dev_dirty = True
+        # optional host-side phase timers (set to a dict to enable):
+        # upload / fix_first / dispatch / toks_wait / replay seconds plus
+        # window count — for locating scheduling overhead vs device compute
+        self.timers = None
 
     # -- jitted pieces ---------------------------------------------------
 
@@ -452,6 +463,8 @@ class ContinuousBatcher:
         if self.prefix_cache:
             self._evict_retained(slot)
             self._slot_key[slot] = None
+        if self.pipelined:
+            self._patch_slots.add(int(slot))
         if first_tok == self.eos or len(req.tokens) >= req.max_new_tokens:
             self._finish(slot)
 
@@ -556,7 +569,8 @@ class ContinuousBatcher:
                         self._install_deferred(r, int(slots[i]),
                                                mask[s, :width], width)
                     self._pending_first.append(done_rec)
-        self._dev_dirty = True
+        if not self.pipelined:
+            self._dev_dirty = True
         return take
 
     def _build_chunk(self, uniq_reqs, req_src, width, dshape,
@@ -646,6 +660,8 @@ class ContinuousBatcher:
         if self.prefix_cache:
             self._evict_retained(slot)
             self._slot_key[slot] = None
+        if self.pipelined:
+            self._patch_slots.add(int(slot))
 
     def _fix_first(self, last_token, active, slots, greedy_toks, sampled,
                    greedy_row):
@@ -658,6 +674,21 @@ class ContinuousBatcher:
         last_token = last_token.at[slots].set(tok, mode="drop")
         active = active.at[slots].set(tok != self.eos, mode="drop")
         return last_token, active
+
+    def _patch_rows(self, pmask, last, pos, dlen, act, gst, greedy,
+                    slots, mask_rows, last_v, pos_v, dlen_v, act_v, gst_v,
+                    greedy_v):
+        """Scatter per-slot decode state onto the device copies — the
+        pipelined-mode replacement for _upload_state's full mirror push.
+        Rows = slots touched by installs/retires since the last window;
+        padding rows carry slot index == capacity and drop."""
+        return (pmask.at[slots].set(mask_rows, mode="drop"),
+                last.at[slots].set(last_v, mode="drop"),
+                pos.at[slots].set(pos_v, mode="drop"),
+                dlen.at[slots].set(dlen_v, mode="drop"),
+                act.at[slots].set(act_v, mode="drop"),
+                gst.at[slots].set(gst_v, mode="drop"),
+                greedy.at[slots].set(greedy_v, mode="drop"))
 
     def _resolve_pending(self) -> List[Request]:
         """Host-side completion of deferred installs: append first tokens,
@@ -801,6 +832,8 @@ class ContinuousBatcher:
         into the device state (_jit_fix_first, device->device) before the
         window dispatch, and the host-side resolve runs while the window
         computes — admission never blocks on a first-token transfer."""
+        tm = self.timers
+        t0 = time.perf_counter() if tm is not None else 0.0
         finished: List[Request] = list(self._finished_backlog)
         self._finished_backlog.clear()
         if not self.active.any():
@@ -809,6 +842,10 @@ class ContinuousBatcher:
         w = self._hist_bucket(int(self.dec_len[self.active].max(initial=0)))
         if self._dev_state is None or self._dev_dirty:
             self._upload_state()
+        if tm is not None:
+            t1 = time.perf_counter()
+            tm["upload"] = tm.get("upload", 0.0) + (t1 - t0)
+            t0 = t1
         pmask, last, pos, dlen, act, gst = self._dev_state
         for rec in self._pending_first:
             last, act = self._jit_fix_first(last, act, rec[2], rec[5],
@@ -820,10 +857,20 @@ class ContinuousBatcher:
             dlen, act, self._dev_greedy, self._rng, gst, **gkw)
         (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
         self._dev_state = (pmask, last, pos, dlen, act, gst)
+        if tm is not None:
+            t1 = time.perf_counter()
+            tm["dispatch"] = tm.get("dispatch", 0.0) + (t1 - t0)
+            tm["windows"] = tm.get("windows", 0) + 1
+            tm["rows"] = tm.get("rows", 0) + int(self.active.sum())
+            t0 = t1
         if self._pending_first:
             # host mirror patch-up overlaps the dispatched window compute
             finished.extend(self._resolve_pending())
         toks = np.asarray(toks)                 # the ONE transfer
+        if tm is not None:
+            t1 = time.perf_counter()
+            tm["toks_wait"] = tm.get("toks_wait", 0.0) + (t1 - t0)
+            t0 = t1
         for step in range(k):
             act_slots = np.nonzero(self.active)[0]
             if len(act_slots) == 0:
@@ -843,6 +890,8 @@ class ContinuousBatcher:
                     self._finish(slot)          # mirrors diverge from device
         if finished:
             self._dev_dirty = True
+        if tm is not None:
+            tm["replay"] = tm.get("replay", 0.0) + (time.perf_counter() - t0)
         return finished
 
     def warmup(self, prompt_widths, dna_shapes=(None,), windows=(1,)):
@@ -893,6 +942,21 @@ class ContinuousBatcher:
                 jnp.broadcast_to(drop, (kp,)),
                 jnp.zeros((kp,), jnp.int32), jnp.zeros((kp,), jnp.int32),
                 jnp.zeros((self.capacity,), bool))
+        for kp in kps:
+            # pipelined-mode row patches, one variant per patch batch size
+            sl = jnp.full((kp,), self.capacity, jnp.int32)      # all drop
+            self._jit_patch(
+                jnp.zeros((self.capacity, self.max_len), jnp.int32),
+                jnp.zeros((self.capacity,), jnp.int32),
+                jnp.zeros((self.capacity,), jnp.int32),
+                jnp.zeros((self.capacity,), jnp.int32),
+                jnp.zeros((self.capacity,), bool),
+                jnp.zeros((self.capacity,), jnp.int32),
+                jnp.zeros((self.capacity,), bool),
+                sl, jnp.zeros((kp, self.max_len), jnp.int32),
+                jnp.zeros((kp,), jnp.int32), jnp.zeros((kp,), jnp.int32),
+                jnp.zeros((kp,), jnp.int32), jnp.zeros((kp,), bool),
+                jnp.zeros((kp,), jnp.int32), jnp.zeros((kp,), bool))
         hist = []
         hb = 0
         while hb < self.max_new:
@@ -922,4 +986,151 @@ class ContinuousBatcher:
             done.extend(self.step_window(window) if window > 1 else self.step())
         done.extend(self._finished_backlog)
         self._finished_backlog.clear()
+        return done
+
+    # -- pipelined driver -------------------------------------------------
+
+    def _apply_patches(self):
+        """Push every slot touched since the last window (installs, retires)
+        onto the device state with ONE row-scatter jit + one small upload —
+        the pipelined replacement for _upload_state, which cannot be used
+        mid-pipeline because the full mirrors lag the in-flight window."""
+        if not self._patch_slots:
+            return
+        slots = np.fromiter(sorted(self._patch_slots), np.int32,
+                            len(self._patch_slots))
+        self._patch_slots.clear()
+        n = len(slots)
+        npad = self._pow2_bucket(n)
+        sl = np.full((npad,), self.capacity, np.int32)   # pad rows: drop
+        sl[:n] = slots
+
+        def pad(v, fill=0):
+            out = np.full((npad,) + v.shape[1:], fill, v.dtype)
+            out[:n] = v
+            return out
+        host = (sl, pad(self.prompt_mask[slots]), pad(self.last_token[slots]),
+                pad(self.positions[slots]), pad(self.dec_len[slots]),
+                pad(self.active[slots]), pad(self.gstate[slots]),
+                pad(self.greedy_row[slots]))
+        dev = jax.device_put(host)                       # ONE upload
+        pmask, last, pos, dlen, act, gst = self._dev_state
+        (pmask, last, pos, dlen, act, gst,
+         self._dev_greedy) = self._jit_patch(pmask, last, pos, dlen, act,
+                                             gst, self._dev_greedy, *dev)
+        self._dev_state = (pmask, last, pos, dlen, act, gst)
+
+    def _dispatch_window(self, k: int, lag: int):
+        """Dispatch one decode window WITHOUT waiting on the device.
+        `lag`: steps the host mirrors trail the device by (the in-flight
+        window's length) — widens the history bucket bound, since dec_len
+        for rows inside that window hasn't been replayed yet."""
+        self._apply_patches()
+        pmask, last, pos, dlen, act, gst = self._dev_state
+        for rec in self._pending_first:
+            last, act = self._jit_fix_first(last, act, rec[2], rec[5],
+                                            rec[6], self._dev_greedy)
+        bound = int(self.dec_len[self.active].max(initial=0)) + lag
+        w = self._hist_bucket(min(bound, self.max_new))
+        carry, toks = self._get_multi(k, w)(
+            self.params, self.prompt_pool, self.dec_pool, pmask, last, pos,
+            dlen, act, self._dev_greedy, self._rng, gst)
+        (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
+        self._dev_state = (pmask, last, pos, dlen, act, gst)
+        snap = [(int(s), self._by_slot[s])
+                for s in np.nonzero(self.active)[0]]
+        return (toks, snap, k)
+
+    def _replay_window(self, inflight) -> List[Request]:
+        """Host-side resolution of a window dispatched one iteration ago:
+        append its tokens to the requests bound to each slot AT DISPATCH
+        TIME (the slot may have been rebound to a successor since — then
+        the old request's tokens still land on the old request and the
+        mirrors, already reset by the install, are left alone)."""
+        toks, snap, k = inflight
+        toks = np.asarray(toks)                          # the ONE transfer
+        finished: List[Request] = []
+        for slot, req in snap:
+            if req is None or req.done:
+                continue
+            cur = self._by_slot[slot] is req
+            adv = cur and self.active[slot]
+            for step in range(k):
+                t = int(toks[step, slot])
+                req.tokens.append(t)
+                if adv:
+                    self.dec_len[slot] += 1
+                    self.positions[slot] += 1
+                    self.last_token[slot] = t
+                    if self.guided is not None:
+                        self.gstate[slot] = self._g_next_np[
+                            self.gstate[slot], t]
+                if t == self.eos or len(req.tokens) >= req.max_new_tokens:
+                    finished.append(req)
+                    if cur:
+                        self._finish(slot)   # retention + slot bookkeeping
+                    else:
+                        req.done = True      # slot already rebound
+                    break
+        return finished
+
+    def run_pipelined(self, requests: List[Request],
+                      window: int = 8) -> List[Request]:
+        """run() with one decode window always IN FLIGHT: the host resolves
+        window N's tokens, admits replacements and dispatches the device
+        patches while window N+1 computes — per-window host time (the
+        token-matrix round trip, mirror replay, admission bookkeeping)
+        disappears behind device compute instead of serializing with it.
+
+        Admission keeps full occupancy across the pipeline bubble because
+        quota finishes are PREDICTED: a slot whose request has fewer than
+        `window` tokens of budget left is guaranteed free after the
+        in-flight window (EOS could only free it earlier), so its successor
+        is installed before that window has even resolved. The install's
+        state writes queue behind the in-flight window on the device
+        stream; the old request's final tokens are replayed onto the OLD
+        request via the dispatch-time slot binding (_replay_window).
+
+        Identical completions to run() for greedy rows (each slot's decode
+        depends only on its own prompt/KV); sampled rows see a different
+        host rng split sequence. Guided decoding needs per-token host
+        resolution and falls back to run()."""
+        if self.guided is not None:
+            return self.run(requests, window=window)
+        pending = list(requests)
+        done: List[Request] = list(self._finished_backlog)
+        self._finished_backlog.clear()
+        self.pipelined = True
+        try:
+            if self._dev_state is None or self._dev_dirty:
+                self._upload_state()
+            inflight = None
+            while (pending or self.active.any() or self._pending_first
+                   or inflight):
+                if inflight is not None:
+                    # retire rows that deterministically finish in flight
+                    _, snap, kk = inflight
+                    for slot, req in snap:
+                        if (req is not None and not req.done
+                                and self._by_slot[slot] is req
+                                and self.active[slot]
+                                and len(req.tokens) + kk
+                                >= req.max_new_tokens):
+                            self.active[slot] = False
+                            self._patch_slots.add(slot)
+                done.extend(r for r in self.admit_many(pending) if r.done)
+                nxt = None
+                if self.active.any() or self._pending_first:
+                    nxt = self._dispatch_window(
+                        window, inflight[2] if inflight else 0)
+                if inflight is not None:
+                    done.extend(self._replay_window(inflight))
+                done.extend(self._resolve_pending())
+                inflight = nxt
+            done.extend(self._finished_backlog)
+            self._finished_backlog.clear()
+        finally:
+            self.pipelined = False
+            self._patch_slots.clear()
+            self._dev_dirty = True     # mirrors are authoritative again
         return done

@@ -201,6 +201,123 @@ class TestDeferredAdmission:
         assert out[0].done and len(out[0].tokens) == 1
 
 
+class TestPipelined:
+    """run_pipelined keeps one window in flight; greedy outputs must be
+    IDENTICAL to run() in every scheduling regime: churn with slot
+    rebinding (quota-finish prediction installs successors before the
+    in-flight window resolves), EOS exits mid-window, deferred first
+    tokens, and prefix-cache reuse."""
+
+    def _mk_churn(self):
+        # capacity 2, six requests with staggered quotas: constant slot
+        # rebinding through the predicted-retire path
+        return [
+            _make_request(0, "hello world, this is a longer prompt " * 3,
+                          max_new=7),
+            _make_request(1, "short", max_new=3),
+            _make_request(2, "dna question", dna="ACGTACGTACGTACGT",
+                          max_new=9),
+            _make_request(3, "another prompt of medium length here",
+                          max_new=5),
+            _make_request(4, "x" * 100, max_new=4),
+            _make_request(5, "final request in the queue", max_new=6),
+        ]
+
+    def test_matches_run_under_churn(self, setup):
+        cfg, params, engine = setup
+        base = self._mk_churn()
+        ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                          capacity=2, max_len=256,
+                          prompt_bucket=64).run(base, window=3)
+        for w in (1, 3, 4):
+            reqs = self._mk_churn()
+            cb = ContinuousBatcher(params, cfg,
+                                   eos_token_id=TOK.eos_token_id,
+                                   capacity=2, max_len=256, prompt_bucket=64)
+            done = cb.run_pipelined(reqs, window=w)
+            assert len(done) == len(reqs)
+            for got, want in zip(reqs, base):
+                assert got.tokens == want.tokens, (
+                    f"window={w} rid={got.rid}: "
+                    f"{got.tokens} != {want.tokens}")
+
+    def test_eos_mid_window(self, setup):
+        """EOS inside a window: the device self-deactivates the row, the
+        replay truncates at EOS, and the freed slot serves the queue."""
+        cfg, params, engine = setup
+        probe = _make_request(0, "probe", max_new=8)
+        stream = _engine_greedy(engine, params, probe)
+        eos = stream[2]                      # fires on step 3 of the probe
+        mk = lambda: [_make_request(0, "probe", max_new=8),
+                      _make_request(1, "another prompt", max_new=6),
+                      _make_request(2, "third in the queue", max_new=6)]
+        base = mk()
+        ContinuousBatcher(params, cfg, eos_token_id=eos, capacity=2,
+                          max_len=256, prompt_bucket=64).run(base, window=4)
+        reqs = mk()
+        cb = ContinuousBatcher(params, cfg, eos_token_id=eos, capacity=2,
+                               max_len=256, prompt_bucket=64)
+        done = cb.run_pipelined(reqs, window=4)
+        assert len(done) == len(reqs)
+        for got, want in zip(reqs, base):
+            assert got.tokens == want.tokens
+
+    def test_first_token_eos_pipelined(self, setup):
+        """A request whose FIRST token is EOS finishes through the deferred
+        resolve while a window is in flight; its slot rebinds cleanly."""
+        cfg, params, engine = setup
+        probe = _make_request(0, "probe", max_new=4)
+        first = _engine_greedy(engine, params, probe)[0]
+        mk = lambda: [_make_request(0, "probe", max_new=4),
+                      _make_request(1, "another prompt", max_new=4),
+                      _make_request(2, "third request text", max_new=4)]
+        base = mk()
+        ContinuousBatcher(params, cfg, eos_token_id=first, capacity=2,
+                          max_len=256, max_new=8,
+                          prompt_bucket=64).run(base, window=4)
+        reqs = mk()
+        cb = ContinuousBatcher(params, cfg, eos_token_id=first, capacity=2,
+                               max_len=256, max_new=8, prompt_bucket=64)
+        done = cb.run_pipelined(reqs, window=4)
+        assert len(done) == len(reqs)
+        for got, want in zip(reqs, base):
+            assert got.tokens == want.tokens
+
+    def test_prefix_cache_and_dedupe(self, setup):
+        """Shared prompts under the pipelined driver: same-batch dedupe and
+        cross-run prefix reuse still hold (and still skip prefills)."""
+        cfg, params, engine = setup
+        want = _engine_greedy(engine, params,
+                              _make_request(0, "shared prompt", max_new=5))
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=4, max_len=256, prompt_bucket=64,
+                               prefix_cache=True)
+        reqs = [_make_request(i, "shared prompt", max_new=5)
+                for i in range(3)]
+        done = cb.run_pipelined(reqs, window=2)
+        assert len(done) == 3 and cb.prefill_calls == 1
+        for r in done:
+            assert r.tokens == want
+        n = cb.prefill_calls
+        later = _make_request(9, "shared prompt", max_new=5)
+        cb.run_pipelined([later], window=2)
+        assert cb.prefill_calls == n and later.tokens == want
+
+    def test_interop_with_step_window(self, setup):
+        """run_pipelined leaves the batcher in a state a subsequent plain
+        run() can continue from (dirty-flag handoff)."""
+        cfg, params, engine = setup
+        a = _make_request(0, "first phase request", max_new=4)
+        b = _make_request(1, "second phase request", max_new=4)
+        ea = _engine_greedy(engine, params, a)
+        eb = _engine_greedy(engine, params, b)
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=2, max_len=256, prompt_bucket=64)
+        cb.run_pipelined([a], window=2)
+        cb.run([b], window=2)
+        assert a.tokens == ea and b.tokens == eb
+
+
 class TestPrefixCacheAndPreemption:
     def test_same_batch_dedupe_matches_engine(self, setup):
         """Identical prompts admitted together prefill ONCE (fan-out by
@@ -248,6 +365,22 @@ class TestPrefixCacheAndPreemption:
         cb.run([b], window=2)                 # evicts a's retained row (C=1)
         cb.run([a2], window=2)                # must re-prefill, still correct
         assert a2.tokens == _engine_greedy(engine, params, a)
+
+    def test_pipelined_preemption_falls_back(self, setup):
+        """preempt() marks state dirty; a following run_pipelined must
+        resync from the mirrors and still produce the exact trajectory."""
+        cfg, params, engine = setup
+        a = _make_request(0, "preempt then pipeline", max_new=8)
+        want = _engine_greedy(engine, params, a)
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=2, max_len=256, prompt_bucket=64)
+        assert cb.admit(a)
+        for _ in range(3):
+            cb.step()
+        if not a.done:
+            cont = cb.preempt(a.slot)
+            done = cb.run_pipelined([cont], window=3)
+            assert done and done[0].tokens == want
 
     def test_preemption_resumes_exact_trajectory(self, setup):
         """preempt(slot) -> continuation request; re-admission re-prefills

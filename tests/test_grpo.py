@@ -112,7 +112,9 @@ class TestGRPOTrainer:
         import jax.numpy as jnp
         kinds = {l.dtype for l in jax.tree.leaves(trainer.frozen_leaves)
                  if hasattr(l, "dtype")}
-        assert jnp.int8 in kinds
+        # equality, not set membership: np.dtype('int8') == jnp.int8 but
+        # their hashes differ, so `jnp.int8 in kinds` is env-dependent
+        assert any(d == jnp.int8 for d in kinds)
         m = trainer.step(make_items(2, 2))
         assert np.isfinite(m["loss"])
         # rollout quantization must not duplicate already-int8 kernels
