@@ -150,6 +150,14 @@ class ContinuousBatcher:
         self._patch_slots: set = set()
         self._jit_patch = jax.jit(self._patch_rows,
                                   donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        # drain compaction (run_pipelined): live rows gather into half-size
+        # pools once the queue drains — per-row KV reads dominate step cost.
+        # compact_min: smallest capacity that still compacts (floor cap/2)
+        self._compacted = False
+        self.compact_min = 32
+        # (no donation: the gathered pools are half-size, so the inputs
+        # can never be reused in place — donating only emits warnings)
+        self._jit_gather_pools = jax.jit(self._gather_pools)
         self._pending_first: List[tuple] = []    # deferred install records
         self._finished_backlog: List[Request] = []
         # device-resident decode state (see _upload_state / step_window)
@@ -304,8 +312,9 @@ class ContinuousBatcher:
         s = self.sampling
         dtype = jnp.dtype(cfg.dtype)
         guided = g_next is not None
-        c = self.capacity
-        hkv, d = cfg.num_kv_heads, cfg.head_dim
+        c = last_token.shape[0]      # row count from inputs, not
+        hkv, d = cfg.num_kv_heads, cfg.head_dim    # self.capacity: the same
+        # traced fn serves drain-compacted sub-capacity pools
 
         # decode-history validity is FIXED for the whole window: this
         # window's tokens live in the window buffer, not the decode pool
@@ -1030,8 +1039,13 @@ class ContinuousBatcher:
         for rec in self._pending_first:
             last, act = self._jit_fix_first(last, act, rec[2], rec[5],
                                             rec[6], self._dev_greedy)
-        bound = int(self.dec_len[self.active].max(initial=0)) + lag
-        w = self._hist_bucket(min(bound, self.max_new))
+        if self._compacted:
+            # one jit variant per sub-capacity: read the full history width
+            # (cheap at reduced row count) instead of compiling per bucket
+            w = self.max_new
+        else:
+            bound = int(self.dec_len[self.active].max(initial=0)) + lag
+            w = self._hist_bucket(min(bound, self.max_new))
         carry, toks = self._get_multi(k, w)(
             self.params, self.prompt_pool, self.dec_pool, pmask, last, pos,
             dlen, act, self._dev_greedy, self._rng, gst)
@@ -1074,6 +1088,75 @@ class ContinuousBatcher:
                     break
         return finished
 
+    def _gather_pools(self, prompt_pool, dec_pool, rows):
+        take = lambda x: x[rows]
+        return (jax.tree.map(take, prompt_pool), jax.tree.map(take, dec_pool))
+
+    def _compact_drain(self):
+        """Drain-phase pool compaction: gather the live rows into half-size
+        pools and carry on at the reduced capacity. The decode step's cost
+        is dominated by per-row KV reads (measured ~2.6 ms/step at C=32 vs
+        ~7.3 ms at C=128 for the 0.6B serving shape), so once the queue is
+        empty and occupancy has fallen to half, smaller pools roughly halve
+        the remaining drain cost. Mirrors are authoritative here (no window
+        in flight), so only the pools move on device; the scalar state
+        re-uploads from the compacted mirrors."""
+        cap2 = self.capacity // 2
+        live = np.nonzero(self.active)[0]
+        rows_np = np.zeros((cap2,), np.int32)
+        rows_np[:len(live)] = live
+        self.prompt_pool, self.dec_pool = self._jit_gather_pools(
+            self.prompt_pool, self.dec_pool, jax.device_put(rows_np))
+
+        def take(v, fill=0):
+            out = np.full((cap2,) + v.shape[1:], fill, v.dtype)
+            out[:len(live)] = v[live]
+            return out
+        self.prompt_mask = take(self.prompt_mask)
+        self.positions = take(self.positions)
+        self.dec_len = take(self.dec_len)
+        self.last_token = take(self.last_token)
+        self.active = take(self.active)
+        self.greedy_row = take(self.greedy_row)
+        self.gstate = take(self.gstate)
+        self._by_slot = ([self._by_slot[s] for s in live]
+                         + [None] * (cap2 - len(live)))
+        self._slot_key = [None] * cap2
+        self._retained.clear()
+        self.capacity = cap2
+        self._compacted = True
+        self._patch_slots.clear()     # superseded by the fresh upload
+        self._upload_state()
+
+    def _restore_capacity(self, orig: int):
+        """Undo drain compaction once a run finishes: all rows are idle, so
+        the pools re-initialize at full capacity (content is dead; prefix
+        retention was already dropped at compaction)."""
+        if self.capacity == orig:
+            return
+        dec = self.cfg.decoder
+        dtype = jnp.dtype(dec.dtype)
+        self.prompt_pool = init_cache(dec, orig, self.max_len, dtype,
+                                      quantize=self.kv_int8)
+        self.dec_pool = init_cache(dec, orig, self.max_new, dtype,
+                                   quantize=self.kv_int8)
+        self.prompt_mask = np.zeros((orig, self.max_len), np.int32)
+        self.positions = np.zeros((orig,), np.int32)
+        self.dec_len = np.zeros((orig,), np.int32)
+        self.last_token = np.zeros((orig,), np.int32)
+        self.active = np.zeros((orig,), bool)
+        self.greedy_row = np.zeros((orig,), bool)
+        self.gstate = np.zeros((orig,), np.int32)
+        self._by_slot = [None] * orig
+        self._slot_key = [None] * orig
+        self._retained.clear()
+        if self.prefix_cache:
+            self._last_hidden = jnp.zeros((orig + 1, dec.hidden_size), dtype)
+        self.capacity = orig
+        self._compacted = False
+        self._dev_state = None
+        self._dev_dirty = True
+
     def run_pipelined(self, requests: List[Request],
                       window: int = 8) -> List[Request]:
         """run() with one decode window always IN FLIGHT: the host resolves
@@ -1101,6 +1184,7 @@ class ContinuousBatcher:
         done: List[Request] = list(self._finished_backlog)
         self._finished_backlog.clear()
         self.pipelined = True
+        orig_capacity = self.capacity
         try:
             if self._dev_state is None or self._dev_dirty:
                 self._upload_state()
@@ -1118,6 +1202,16 @@ class ContinuousBatcher:
                                 >= req.max_new_tokens):
                             self.active[slot] = False
                             self._patch_slots.add(slot)
+                if (inflight is not None and not pending
+                        and not self._pending_first and not self.prefix_cache
+                        and self.capacity >= self.compact_min
+                        and int(self.active.sum()) <= self.capacity // 2):
+                    # drain: resolve the in-flight window (one pipeline
+                    # bubble), halve the pools, continue at sub-capacity
+                    done.extend(self._replay_window(inflight))
+                    inflight = None
+                    self._compact_drain()
+                    continue
                 done.extend(r for r in self.admit_many(pending) if r.done)
                 nxt = None
                 if self.active.any() or self._pending_first:
@@ -1132,5 +1226,6 @@ class ContinuousBatcher:
         finally:
             self.pipelined = False
             self._patch_slots.clear()
+            self._restore_capacity(orig_capacity)
             self._dev_dirty = True     # mirrors are authoritative again
         return done

@@ -303,6 +303,37 @@ class TestPipelined:
         cb.run_pipelined([later], window=2)
         assert cb.prefill_calls == n and later.tokens == want
 
+    def test_drain_compaction(self, setup):
+        """Once the queue drains to half occupancy the pools halve
+        (possibly repeatedly); tokens stay identical and the batcher
+        restores full capacity when the run completes."""
+        cfg, params, engine = setup
+        mk = lambda: [
+            _make_request(0, "long request one " * 4, max_new=12),
+            _make_request(1, "short a", max_new=2),
+            _make_request(2, "short b request", max_new=2),
+            _make_request(3, "short c text here", max_new=3),
+        ]
+        base = mk()
+        ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                          capacity=4, max_len=256,
+                          prompt_bucket=64).run(base, window=2)
+        reqs = mk()
+        cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
+                               capacity=4, max_len=256, prompt_bucket=64)
+        cb.compact_min = 2                       # let the tiny pool compact
+        done = cb.run_pipelined(reqs, window=2)
+        assert len(done) == len(reqs)
+        for got, want in zip(reqs, base):
+            assert got.tokens == want.tokens
+        assert cb.capacity == 4                  # restored after the run
+        assert not cb._compacted
+        # a fresh batch runs fine on the restored pools
+        again = mk()
+        done = cb.run_pipelined(again, window=2)
+        for got, want in zip(again, base):
+            assert got.tokens == want.tokens
+
     def test_interop_with_step_window(self, setup):
         """run_pipelined leaves the batcher in a state a subsequent plain
         run() can continue from (dirty-flag handoff)."""
