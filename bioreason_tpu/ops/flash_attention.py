@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 # (tools/sweep_attention_blocks.py): 256x384 = 1.72 ms vs 128x128 = 2.30 ms
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 384
+# training-mix sweep (--bwd, grads over q/k/v): when the WHOLE sequence fits
+# a single block there is no online-softmax carry and no block-boundary
+# recompute — 768x768 = 2.367 ms vs 256x384 = 2.509 ms fwd+bwd at the bench
+# shape. Applied automatically (shape-aware default) for tq == tk <= this.
+SINGLE_BLOCK_MAX = 768
 NEG_INF = -1e30
 
 
@@ -326,6 +331,10 @@ def flash_attention(q, k, v, kv_mask=None, causal=False, q_offset=None,
     if q_offset is None:
         q_offset = tk - tq if causal else 0
 
+    if (block_q == DEFAULT_BLOCK_Q and block_k == DEFAULT_BLOCK_K
+            and tq == tk and tq <= SINGLE_BLOCK_MAX and tq % 128 == 0):
+        # shape-aware default: single-block fast path (see SINGLE_BLOCK_MAX)
+        block_q = block_k = tq
     block_q = min(block_q, max(tq, 8))
     block_k = min(block_k, max(tk, 8))
     pq, pk = _pad_len(tq, block_q), _pad_len(tk, block_k)

@@ -70,3 +70,27 @@ def test_gradients_match_xla(causal):
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_single_block_default_path(causal):
+    # tq == tk <= SINGLE_BLOCK_MAX with default blocks takes the
+    # single-block fast path (block = whole sequence); numerics must match
+    # XLA exactly like any other block choice, fwd and bwd
+    q, k, v = make_qkv(b=1, tq=256, tk=256)
+    mask = jnp.ones((1, 256), jnp.int32).at[:, 200:].set(0)
+    out_f = flash_attention(q, k, v, kv_mask=mask, causal=causal)
+    out_x = xla_attention(q, k, v, kv_mask=mask, causal=causal)
+    np.testing.assert_allclose(out_f, out_x, atol=2e-5, rtol=2e-5)
+
+    def loss_f(q, k, v):
+        return (flash_attention(q, k, v, kv_mask=mask, causal=causal)
+                ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (xla_attention(q, k, v, kv_mask=mask, causal=causal) ** 2).sum()
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)

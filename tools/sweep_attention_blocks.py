@@ -21,6 +21,9 @@ def main():
 
     import argparse
     ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", default=None,
+                    help="comma list of bqxbk pairs, e.g. 256x384,384x384 "
+                         "(default: full ladder)")
     ap.add_argument("--bwd", action="store_true",
                     help="time fwd+bwd (the training-step mix) instead of fwd")
     args = ap.parse_args()
@@ -28,6 +31,9 @@ def main():
     shapes = [(128, 128), (128, 256), (256, 128), (256, 256), (128, 384),
               (384, 128), (256, 384), (384, 256), (384, 384), (256, 768),
               (384, 768), (768, 256), (768, 384), (768, 768)]
+    if args.blocks:
+        shapes = [tuple(int(x) for x in p.split("x"))
+                  for p in args.blocks.split(",")]
     for bq, bk in shapes:
         if T % bq or T % bk:
             continue
@@ -37,11 +43,13 @@ def main():
                                    block_q=bq, block_k=bk)
 
         def fwd_bwd(q, k, v, bq=bq, bk=bk):
-            def loss(q):
+            # grad over ALL operands: grad wrt q alone lets XLA drop the
+            # dk/dv kernel entirely and the sweep mis-ranks block shapes
+            def loss(q, k, v):
                 o = flash_attention(q, k, v, kv_mask=mask, causal=True,
                                     block_q=bq, block_k=bk)
                 return jnp.sum(o.astype(jnp.float32))
-            return jax.grad(loss)(q)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)[0]
 
         f = jax.jit(fwd_bwd if args.bwd else fwd_only)
         try:
