@@ -20,6 +20,7 @@ over q-blocks (no atomics — each kernel owns its output tile).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -36,6 +37,14 @@ DEFAULT_BLOCK_K = 384
 # recompute — 768x768 = 2.367 ms vs 256x384 = 2.509 ms fwd+bwd at the bench
 # shape. Applied automatically (shape-aware default) for tq == tk <= this.
 SINGLE_BLOCK_MAX = 768
+# A/B knob for on-chip tuning: 1 routes the single-block backward through the
+# fused one-pass kernel (_bwd_single_kernel) instead of the tiled two-kernel
+# scheme at grid (bh,1,1). Measured on v5e at the bench shape (B=4 T=768
+# Hq=16 Hkv=8 D=128 bf16 causal, fwd+bwd): fused 2.77-2.83 ms vs tiled
+# 2.27-2.33 ms — the one-pass kernel holds s/p/dp/ds (4x [768,768] fp32
+# ≈ 9.4 MB) plus the GQA dk/dv scratch live at once, and the VMEM pressure
+# costs more than the avoided score recompute saves. Default: tiled.
+_FUSED_SINGLE_BWD = os.environ.get("BIOREASON_FUSED_SINGLE_BWD", "0") == "1"
 NEG_INF = -1e30
 
 
@@ -186,6 +195,98 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _fwd_single_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                       scale, causal, q_offset):
+    """Whole-sequence-in-one-block forward: plain (non-online) softmax, no
+    running-max/sum scratch, no per-block @pl.when dispatch. Grid (BH,)."""
+    q = q_ref[0]                                               # [Tq, D]
+    k = k_ref[0]                                               # [Tk, D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mask = mask_ref[0, 0, :] > 0
+    valid = jnp.broadcast_to(mask[None, :], s.shape)
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = valid & (k_pos <= q_pos)
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=1)                                     # [Tq]
+    p = jnp.where(valid, jnp.exp(s - m[:, None]), 0.0)
+    l = jnp.sum(p, axis=1)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    v = v_ref[0]
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
+                              m + jnp.log(l_safe)).astype(lse_ref.dtype)
+
+
+def _bwd_single_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       dq_ref, dk_ref, dv_ref, dk_scr=None, dv_scr=None, *,
+                       scale, causal, q_offset, group=1):
+    """One-pass fused backward for the single-block case: the score matrix
+    and probabilities are computed ONCE (the tiled scheme recomputes them in
+    both the dq and dk/dv kernels), delta comes free as rowsum(p * dp)
+    (identical to rowsum(do * o)), and dk/dv accumulate across the GQA group
+    in VMEM scratch — the expanded-head fp32 grads never touch HBM. Grid
+    (BH,) with q-head programs of one kv head consecutive, so the dk/dv
+    output block (indexed b // group) is revisited, not re-read.
+
+    OFF BY DEFAULT: measured SLOWER than the tiled two-kernel backward at
+    the bench shape (see _FUSED_SINGLE_BWD) — kept behind the env knob as a
+    tuning point for other shapes (smaller T, where the live fp32
+    intermediates fit VMEM comfortably)."""
+    bi = pl.program_id(0)
+    if group > 1:
+        @pl.when(bi % group == 0)
+        def _init():
+            dk_scr[:] = jnp.zeros_like(dk_scr)
+            dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mask = mask_ref[0, 0, :] > 0
+    valid = jnp.broadcast_to(mask[None, :], s.shape)
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = valid & (k_pos <= q_pos)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [Tq, Tk]
+    delta = jnp.sum(p * dp, axis=1)                                # [Tq]
+    ds = p * (dp - delta[:, None])
+    dq_ref[0] = (jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+
+    pb = p.astype(do.dtype)
+    dsb = ds.astype(q.dtype)
+    if group > 1:
+        dv_scr[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dk_scr[:] += jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32) * scale
+
+        @pl.when(bi % group == group - 1)
+        def _finalize():
+            dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+            dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+    else:
+        dv_ref[0] = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dk_ref[0] = (jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -208,6 +309,29 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, q_offset, block_q, block_k, interp
     group = bh // k.shape[0]
     scale = d ** -0.5
     nq, nk = tq // block_q, tk // block_k
+
+    if nq == 1 and nk == 1:
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_single_kernel, scale=scale, causal=causal,
+                              q_offset=q_offset),
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((1, 1, tk), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b // group, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b // group, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, tq), lambda b: (b, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, tq), jnp.float32),
+            ],
+            interpret=interpret,
+        )(kv_mask, q, k, v)
+        return out, lse
 
     grid = (bh, nq, nk)
     kernel = functools.partial(
@@ -254,6 +378,37 @@ def _flash_bwd(causal, q_offset, block_q, block_k, interpret, res, g):
     group = bh // k.shape[0]
     scale = d ** -0.5
     nq, nk = tq // block_q, tk // block_k
+
+    if nq == 1 and nk == 1 and _FUSED_SINGLE_BWD:
+        bhkv = k.shape[0]
+        scr = ([pltpu.VMEM((tk, d), jnp.float32),
+                pltpu.VMEM((tk, d), jnp.float32)] if group > 1 else [])
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_single_kernel, scale=scale, causal=causal,
+                              q_offset=q_offset, group=group),
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((1, 1, tk), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b // group, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b // group, 0, 0)),
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, tq), lambda b: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tq, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b // group, 0, 0)),
+                pl.BlockSpec((1, tk, d), lambda b: (b // group, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+                jax.ShapeDtypeStruct((bhkv, tk, d), k.dtype),
+                jax.ShapeDtypeStruct((bhkv, tk, d), v.dtype),
+            ],
+            scratch_shapes=scr,
+            interpret=interpret,
+        )(kv_mask, q, k, v, g, lse)
+        return dq, dk, dv, None
 
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32),
                     axis=-1)[:, None, :]                                 # [BH,1,Tq]

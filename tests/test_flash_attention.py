@@ -3,10 +3,21 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import bioreason_tpu.ops.flash_attention as fa
 from bioreason_tpu.models.attention import xla_attention
 from bioreason_tpu.ops.flash_attention import flash_attention
 
 # CPU tests run the kernels in interpret mode (forced automatically).
+
+
+@pytest.fixture(params=[False, True], ids=["tiled_bwd", "fused_bwd"])
+def single_bwd_variant(request, monkeypatch):
+    """Both single-block backward schemes (tiled default vs fused one-pass —
+    see _FUSED_SINGLE_BWD) must stay numerically correct."""
+    monkeypatch.setattr(fa, "_FUSED_SINGLE_BWD", request.param)
+    jax.clear_caches()   # the knob is read at trace time
+    yield request.param
+    jax.clear_caches()
 
 
 def rand(shape, seed=0):
@@ -72,8 +83,31 @@ def test_gradients_match_xla(causal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
 
 
+def test_single_block_rectangular_with_offset(single_bwd_variant):
+    # single-block path at tq != tk with a causal query offset
+    # (prefill-into-larger-cache): explicit whole-sequence blocks
+    q, k, v = make_qkv(b=1, tq=32, tk=64)
+    mask = jnp.ones((1, 64), jnp.int32).at[0, 48:].set(0)
+    def loss_f(q, k, v):
+        o = flash_attention(q, k, v, kv_mask=mask, causal=True, q_offset=0,
+                            block_q=64, block_k=64)
+        return (o ** 2).sum()
+    def loss_x(q, k, v):
+        o = xla_attention(q, k, v, kv_mask=mask, causal=True, q_offset=0)
+        return (o ** 2).sum()
+    np.testing.assert_allclose(
+        flash_attention(q, k, v, kv_mask=mask, causal=True, q_offset=0,
+                        block_q=64, block_k=64),
+        xla_attention(q, k, v, kv_mask=mask, causal=True, q_offset=0),
+        atol=2e-5, rtol=2e-5)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)
+
+
 @pytest.mark.parametrize("causal", [False, True])
-def test_single_block_default_path(causal):
+def test_single_block_default_path(causal, single_bwd_variant):
     # tq == tk <= SINGLE_BLOCK_MAX with default blocks takes the
     # single-block fast path (block = whole sequence); numerics must match
     # XLA exactly like any other block choice, fwd and bwd

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+import bioreason_tpu.ops.flash_attention as fa
 from bioreason_tpu.ops.flash_attention import flash_attention
 
 
@@ -35,8 +36,14 @@ def main():
         shapes = [tuple(int(x) for x in p.split("x"))
                   for p in args.blocks.split(",")]
     for bq, bk in shapes:
-        if T % bq or T % bk:
+      if T % bq or T % bk:
             continue
+      # single-block shapes have two bwd schemes: fused one-pass vs tiled
+      variants = ([("fused", True), ("tiled", False)]
+                  if args.bwd and bq >= T and bk >= T else [("", None)])
+      for tag, fused in variants:
+        if fused is not None:
+            fa._FUSED_SINGLE_BWD = fused
 
         def fwd_only(q, k, v, bq=bq, bk=bk):
             return flash_attention(q, k, v, kv_mask=mask, causal=True,
@@ -59,10 +66,10 @@ def main():
             for _ in range(30):
                 o = f(q, k, v)
             _ = float(jnp.sum(o.astype(jnp.float32)))
-            print(f"bq={bq} bk={bk}: {(time.perf_counter()-t0)/30*1000:.3f} ms",
+            print(f"bq={bq} bk={bk} {tag}: {(time.perf_counter()-t0)/30*1000:.3f} ms",
                   flush=True)
         except Exception as e:
-            print(f"bq={bq} bk={bk}: FAILED {type(e).__name__}", flush=True)
+            print(f"bq={bq} bk={bk} {tag}: FAILED {type(e).__name__}", flush=True)
 
 
 if __name__ == "__main__":
