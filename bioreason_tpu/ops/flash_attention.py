@@ -15,6 +15,14 @@ prefill), and fully-masked-block skipping for causal prefill.
 Backward follows the standard two-kernel recompute scheme with the saved
 log-sum-exp: one kernel accumulates dq over k-blocks, one accumulates dk/dv
 over q-blocks (no atomics — each kernel owns its output tile).
+
+When the whole sequence fits one block (tq == tk <= SINGLE_BLOCK_MAX),
+dedicated single-block kernels take over: plain (non-online) softmax, a
+fused one-pass backward, and causal ROW GROUPS — each 128-row group
+computes scores only over its visible key extent, 58% of the full matrix
+at T=768, exact because every row's complete key range lies inside its
+group's slice (_row_groups). Measured per-layer at the bench shape:
+fwd 0.986 -> 0.796 ms, fwd+bwd 2.463 -> 1.483 ms (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -32,19 +40,20 @@ from jax.experimental.pallas import tpu as pltpu
 # (tools/sweep_attention_blocks.py): 256x384 = 1.72 ms vs 128x128 = 2.30 ms
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 384
-# training-mix sweep (--bwd, grads over q/k/v): when the WHOLE sequence fits
-# a single block there is no online-softmax carry and no block-boundary
-# recompute — 768x768 = 2.367 ms vs 256x384 = 2.509 ms fwd+bwd at the bench
-# shape. Applied automatically (shape-aware default) for tq == tk <= this.
+# when the WHOLE sequence fits a single block there is no online-softmax
+# carry and no block-boundary recompute, and the dedicated single-block
+# kernels (row groups + fused bwd) apply: 1.483 vs 2.463 ms/layer fwd+bwd
+# at the bench shape (in-jit chain, see BENCHMARKS.md). Applied
+# automatically (shape-aware default) for tq == tk <= this.
 SINGLE_BLOCK_MAX = 768
-# A/B knob for on-chip tuning: 1 routes the single-block backward through the
-# fused one-pass kernel (_bwd_single_kernel) instead of the tiled two-kernel
-# scheme at grid (bh,1,1). Measured on v5e at the bench shape (B=4 T=768
-# Hq=16 Hkv=8 D=128 bf16 causal, fwd+bwd): fused 2.77-2.83 ms vs tiled
-# 2.27-2.33 ms — the one-pass kernel holds s/p/dp/ds (4x [768,768] fp32
-# ≈ 9.4 MB) plus the GQA dk/dv scratch live at once, and the VMEM pressure
-# costs more than the avoided score recompute saves. Default: tiled.
-_FUSED_SINGLE_BWD = os.environ.get("BIOREASON_FUSED_SINGLE_BWD", "0") == "1"
+# A/B knob for on-chip tuning: 0 routes the single-block backward through the
+# tiled two-kernel scheme at grid (bh,1,1) instead of the fused one-pass
+# kernel (_bwd_single_kernel). Measured on v5e at the bench shape (B=4 T=768
+# Hq=16 Hkv=8 D=128 bf16 causal) with an IN-JIT 28-deep chain that consumes
+# dq AND dk/dv (a host loop that returns only dq lets XLA drop the tiled
+# scheme's whole dk/dv kernel and mis-ranks the variants): fused 2.072 vs
+# tiled 2.463 ms/layer fwd+bwd. Default: fused.
+_FUSED_SINGLE_BWD = os.environ.get("BIOREASON_FUSED_SINGLE_BWD", "1") == "1"
 NEG_INF = -1e30
 
 
@@ -195,96 +204,123 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _row_groups(tq: int, tk: int, causal: bool, q_offset: int,
+                gs: int = 128):
+    """Static (row_start, key_extent) pairs for the single-block kernels.
+
+    Causal row-grouping: rows [r0, r0+gs) can only attend keys
+    <= r0+gs-1+q_offset, so each group's score matrix is [gs, ext] instead
+    of [tq, tk] — at tq == tk == 768 with gs=128 the computed area is 58%
+    of the full matrix, and every row's complete valid key range lies
+    inside its group's slice, so per-group plain softmax stays EXACT (no
+    online merge). Extents are rounded up to lane multiples (128)."""
+    if not causal or tq % gs or tk % 128 or tq // gs <= 1:
+        return ((0, tq, tk),)
+    groups = []
+    for r0 in range(0, tq, gs):
+        last = r0 + gs - 1 + q_offset          # last visible key position
+        ext = min(tk, _round_up(max(last + 1, 1), 128))
+        groups.append((r0, gs, ext))
+    return tuple(groups)
+
+
 def _fwd_single_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                       scale, causal, q_offset):
+                       scale, causal, q_offset, row_groups):
     """Whole-sequence-in-one-block forward: plain (non-online) softmax, no
-    running-max/sum scratch, no per-block @pl.when dispatch. Grid (BH,)."""
-    q = q_ref[0]                                               # [Tq, D]
+    running-max/sum scratch, no per-block @pl.when dispatch. Grid (BH,).
+    Causal row groups clamp each group's key extent (see _row_groups)."""
     k = k_ref[0]                                               # [Tk, D]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    mask = mask_ref[0, 0, :] > 0
-    valid = jnp.broadcast_to(mask[None, :], s.shape)
-    if causal:
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = valid & (k_pos <= q_pos)
-    s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=1)                                     # [Tq]
-    p = jnp.where(valid, jnp.exp(s - m[:, None]), 0.0)
-    l = jnp.sum(p, axis=1)
-    l_safe = jnp.where(l == 0.0, 1.0, l)
     v = v_ref[0]
-    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    o_ref[0] = (pv / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
-                              m + jnp.log(l_safe)).astype(lse_ref.dtype)
+    qf = q_ref[0]                                              # [Tq, D]
+    mask = mask_ref[0, 0, :] > 0                               # [Tk]
+    for r0, gs, ext in row_groups:
+        q = qf[r0:r0 + gs]                                     # [gs, D]
+        s = jax.lax.dot_general(q, k[:ext], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        valid = jnp.broadcast_to(mask[:ext][None], s.shape)
+        if causal:
+            q_pos = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                     + r0 + q_offset)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = valid & (k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=1)                                 # [gs]
+        p = jnp.where(valid, jnp.exp(s - m[:, None]), 0.0)
+        l = jnp.sum(p, axis=1)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v[:ext],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, r0:r0 + gs] = (pv / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, r0:r0 + gs] = jnp.where(
+            l == 0.0, NEG_INF, m + jnp.log(l_safe)).astype(lse_ref.dtype)
 
 
 def _bwd_single_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                        dq_ref, dk_ref, dv_ref, dk_scr=None, dv_scr=None, *,
-                       scale, causal, q_offset, group=1):
+                       scale, causal, q_offset, group=1,
+                       row_groups=((0, 0, 0),)):
     """One-pass fused backward for the single-block case: the score matrix
     and probabilities are computed ONCE (the tiled scheme recomputes them in
     both the dq and dk/dv kernels), delta comes free as rowsum(p * dp)
     (identical to rowsum(do * o)), and dk/dv accumulate across the GQA group
-    in VMEM scratch — the expanded-head fp32 grads never touch HBM. Grid
-    (BH,) with q-head programs of one kv head consecutive, so the dk/dv
-    output block (indexed b // group) is revisited, not re-read.
-
-    OFF BY DEFAULT: measured SLOWER than the tiled two-kernel backward at
-    the bench shape (see _FUSED_SINGLE_BWD) — kept behind the env knob as a
-    tuning point for other shapes (smaller T, where the live fp32
-    intermediates fit VMEM comfortably)."""
+    in fp32 VMEM scratch — the expanded-head grads never round-trip HBM.
+    Grid (BH,) with q-head programs of one kv head consecutive, so the dk/dv
+    output block (indexed b // group) is revisited, not re-read. Causal row
+    groups clamp each group's key extent (see _row_groups); each group
+    accumulates its dk/dv slice into the shared scratch."""
     bi = pl.program_id(0)
-    if group > 1:
-        @pl.when(bi % group == 0)
-        def _init():
-            dk_scr[:] = jnp.zeros_like(dk_scr)
-            dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
+    @pl.when(bi % group == 0)      # always true at group == 1
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    qf = q_ref[0]
+    dof = do_ref[0]
+    lsef = lse_ref[0, 0]
     mask = mask_ref[0, 0, :] > 0
-    valid = jnp.broadcast_to(mask[None, :], s.shape)
-    if causal:
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = valid & (k_pos <= q_pos)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+    for r0, gs, ext in row_groups:
+        q = qf[r0:r0 + gs]
+        do = dof[r0:r0 + gs]
+        s = jax.lax.dot_general(q, k[:ext], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        valid = jnp.broadcast_to(mask[:ext][None], s.shape)
+        if causal:
+            q_pos = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                     + r0 + q_offset)
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = valid & (k_pos <= q_pos)
+        p = jnp.where(valid,
+                      jnp.exp(s - lsef[r0:r0 + gs][:, None]), 0.0)
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [Tq, Tk]
-    delta = jnp.sum(p * dp, axis=1)                                # [Tq]
-    ds = p * (dp - delta[:, None])
-    dq_ref[0] = (jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dp = jax.lax.dot_general(do, v[:ext], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(p * dp, axis=1)                            # [gs]
+        ds = p * (dp - delta[:, None])
+        dq_ref[0, r0:r0 + gs] = (jax.lax.dot_general(
+            ds.astype(k.dtype), k[:ext], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
 
-    pb = p.astype(do.dtype)
-    dsb = ds.astype(q.dtype)
-    if group > 1:
-        dv_scr[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-        dk_scr[:] += jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32) * scale
-
-        @pl.when(bi % group == group - 1)
-        def _finalize():
-            dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-            dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
-    else:
-        dv_ref[0] = jax.lax.dot_general(
+        pb = p.astype(do.dtype)
+        dsb = ds.astype(q.dtype)
+        dv_scr[:ext] += jax.lax.dot_general(
             pb, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        dk_ref[0] = (jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+        dk_scr[:ext] += jax.lax.dot_general(
             dsb, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(bi % group == group - 1)      # always true at group == 1
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +349,8 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, q_offset, block_q, block_k, interp
     if nq == 1 and nk == 1:
         out, lse = pl.pallas_call(
             functools.partial(_fwd_single_kernel, scale=scale, causal=causal,
-                              q_offset=q_offset),
+                              q_offset=q_offset,
+                              row_groups=_row_groups(tq, tk, causal, q_offset)),
             grid=(bh,),
             in_specs=[
                 pl.BlockSpec((1, 1, tk), lambda b: (b, 0, 0)),
@@ -381,11 +418,12 @@ def _flash_bwd(causal, q_offset, block_q, block_k, interpret, res, g):
 
     if nq == 1 and nk == 1 and _FUSED_SINGLE_BWD:
         bhkv = k.shape[0]
-        scr = ([pltpu.VMEM((tk, d), jnp.float32),
-                pltpu.VMEM((tk, d), jnp.float32)] if group > 1 else [])
+        scr = [pltpu.VMEM((tk, d), jnp.float32),
+               pltpu.VMEM((tk, d), jnp.float32)]
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_single_kernel, scale=scale, causal=causal,
-                              q_offset=q_offset, group=group),
+                              q_offset=q_offset, group=group,
+                              row_groups=_row_groups(tq, tk, causal, q_offset)),
             grid=(bh,),
             in_specs=[
                 pl.BlockSpec((1, 1, tk), lambda b: (b, 0, 0)),

@@ -106,6 +106,29 @@ def test_single_block_rectangular_with_offset(single_bwd_variant):
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)
 
 
+def test_causal_row_groups_multi(single_bwd_variant):
+    # T=384 -> three 128-row groups with key extents 128/256/384
+    # (ops/flash_attention._row_groups); padding mask + GQA exercise the
+    # per-group mask slice and the scratch dk/dv accumulation
+    q, k, v = make_qkv(b=2, tq=384, tk=384, hq=4, hkv=2, d=32)
+    mask = jnp.ones((2, 384), jnp.int32).at[0, 300:].set(0)
+
+    def loss_f(q, k, v):
+        return (flash_attention(q, k, v, kv_mask=mask, causal=True) ** 2).sum()
+
+    def loss_x(q, k, v):
+        return (xla_attention(q, k, v, kv_mask=mask, causal=True) ** 2).sum()
+
+    np.testing.assert_allclose(
+        flash_attention(q, k, v, kv_mask=mask, causal=True),
+        xla_attention(q, k, v, kv_mask=mask, causal=True),
+        atol=2e-5, rtol=2e-5)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_single_block_default_path(causal, single_bwd_variant):
     # tq == tk <= SINGLE_BLOCK_MAX with default blocks takes the

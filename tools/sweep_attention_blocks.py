@@ -27,6 +27,11 @@ def main():
                          "(default: full ladder)")
     ap.add_argument("--bwd", action="store_true",
                     help="time fwd+bwd (the training-step mix) instead of fwd")
+    ap.add_argument("--loop", type=int, default=0,
+                    help="N>0: chain N attention calls inside ONE jit "
+                         "(output feeds the next call's q) and report "
+                         "ms/call — removes the per-dispatch tunnel floor "
+                         "that a 30-call host loop carries")
     args = ap.parse_args()
 
     shapes = [(128, 128), (128, 256), (256, 128), (256, 256), (128, 384),
@@ -56,18 +61,40 @@ def main():
                 o = flash_attention(q, k, v, kv_mask=mask, causal=True,
                                     block_q=bq, block_k=bk)
                 return jnp.sum(o.astype(jnp.float32))
-            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)[0]
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            # consume dk/dv with a real data dependence: returning dq alone
+            # lets XLA drop the dk/dv kernel entirely (in --loop mode the
+            # scan carry is the only live value)
+            return dq + (jnp.sum(dk) + jnp.sum(dv)).astype(dq.dtype) * 1e-20
 
-        f = jax.jit(fwd_bwd if args.bwd else fwd_only)
+        one = fwd_bwd if args.bwd else fwd_only
+
+        if args.loop:
+            def chained(q, k, v, n=args.loop):
+                def body(carry, _):
+                    qc = carry
+                    out = one(qc, k, v)
+                    # feed the output back as q: data dependence stops XLA
+                    # from collapsing the N iterations
+                    return out.astype(qc.dtype), ()
+                final, _ = jax.lax.scan(body, q, None, length=n)
+                return final
+            f = jax.jit(chained)
+            calls = args.loop
+            reps = 3
+        else:
+            f = jax.jit(one)
+            calls = 1
+            reps = 30
         try:
             o = f(q, k, v)
             _ = float(jnp.sum(o.astype(jnp.float32)))
             t0 = time.perf_counter()
-            for _ in range(30):
+            for _ in range(reps):
                 o = f(q, k, v)
             _ = float(jnp.sum(o.astype(jnp.float32)))
-            print(f"bq={bq} bk={bk} {tag}: {(time.perf_counter()-t0)/30*1000:.3f} ms",
-                  flush=True)
+            ms = (time.perf_counter() - t0) / (reps * calls) * 1000
+            print(f"bq={bq} bk={bk} {tag}: {ms:.3f} ms", flush=True)
         except Exception as e:
             print(f"bq={bq} bk={bk} {tag}: FAILED {type(e).__name__}", flush=True)
 
