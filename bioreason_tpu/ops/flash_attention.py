@@ -208,8 +208,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# row-group height for the single-block causal kernels; swept on v5e at the
+# bench shape (in-jit chain, fwd+bwd ms/layer): 64 -> 1.573, 128 -> 1.483,
+# 256 -> 1.612, 384 -> 1.697. Exposed for tuning at other shapes.
+_ROW_GROUP = int(os.environ.get("BIOREASON_ROW_GROUP", "128"))
+
+
 def _row_groups(tq: int, tk: int, causal: bool, q_offset: int,
-                gs: int = 128):
+                gs: int = 0):
     """Static (row_start, key_extent) pairs for the single-block kernels.
 
     Causal row-grouping: rows [r0, r0+gs) can only attend keys
@@ -218,6 +224,8 @@ def _row_groups(tq: int, tk: int, causal: bool, q_offset: int,
     of the full matrix, and every row's complete valid key range lies
     inside its group's slice, so per-group plain softmax stays EXACT (no
     online merge). Extents are rounded up to lane multiples (128)."""
+    if not gs:
+        gs = _ROW_GROUP
     if not causal or tq % gs or tk % 128 or tq // gs <= 1:
         return ((0, tq, tk),)
     groups = []
