@@ -248,6 +248,12 @@ class SFTConfig:
     train_projection: bool = True    # projection always trainable (dna_llm quirk list)
     freeze_encoder: bool = True      # reference de-facto freezes DNA tower
     frozen_dtype: str = "bfloat16"   # frozen leaves need no fp32 master copy
+    # pipeline parallelism over the decoder layer stack (parallel/pp.py,
+    # GPipe; the reference declares the plan in configuration_dl.py:159-163
+    # but never implements it): >0 enables, value = microbatches per
+    # per-DP-shard batch. Stages = mesh 'model' axis size; decoder TP rules
+    # are replaced by stage-contiguous layer sharding.
+    pp_micro: int = 0
     seed: int = 0
 
 

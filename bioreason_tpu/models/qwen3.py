@@ -227,7 +227,23 @@ def decoder_forward(
 
     use_dropout = lora_dropout_rng is not None and lora_dropout_rate > 0.0
     if cache is None:
-        if use_dropout:
+        from bioreason_tpu.parallel.pp import pipeline_enabled
+        if pipeline_enabled():
+            # GPipe pipeline over the layer stack (parallel/pp.py): trainers
+            # activate the scope (SFTConfig.pp_micro > 0); the stacked [L,...]
+            # params shard one contiguous stage per device on the pipeline
+            # axis. Remat is per-stage implicit (each tick recomputes its
+            # microbatch activations through AD of the scan).
+            from bioreason_tpu.parallel.pp import pipeline_state, pp_decoder_layers
+            mesh, axis, n_micro = pipeline_state()
+            lk = (jax.random.split(lora_dropout_rng, cfg.num_layers)
+                  if use_dropout else None)
+            h = pp_decoder_layers(
+                params["layers"], h, cfg, positions, kv_mask, mesh,
+                axis=axis, n_micro=n_micro, layer_keys=lk,
+                lora_dropout_rate=lora_dropout_rate if use_dropout else 0.0)
+            new_cache_list = None
+        elif use_dropout:
             layer_keys = jax.random.split(lora_dropout_rng, cfg.num_layers)
 
             def body(h, xs):

@@ -68,9 +68,19 @@ def partition_rules_encoder(prefix: str = "") -> Rules:
     ]
 
 
-def partition_rules_fusion() -> Rules:
+def partition_rules_fusion(pp: bool = False) -> Rules:
+    """pp=True: the decoder's stacked [L, ...] layer params shard one
+    contiguous GPipe STAGE per device on 'model' (leading layer axis)
+    instead of tensor-parallel column/row splits — required by
+    parallel/pp.pp_decoder_layers' shard_map in_specs."""
+    decoder_rules = (
+        [(re.escape("decoder/") + r"layers/.*", P("model"))] if pp
+        else partition_rules_decoder("decoder/"))
     return (
-        partition_rules_decoder("decoder/")
+        decoder_rules
+        + ([(re.escape("decoder/") + r"embed/embedding$", P(None, "fsdp")),
+            (re.escape("decoder/") + r"lm_head/kernel$", P("fsdp", None))]
+           if pp else [])
         + partition_rules_encoder("encoder/")
         + [(r"dna_projection/kernel$", P("fsdp", "model")),
            (r"dna_projection/bias$", P()),

@@ -39,12 +39,63 @@ except ImportError:                    # pragma: no cover
     _SM_KW = {"check_rep": False}
 
 
+# -- scoped trainer registration (same pattern as parallel/sp.py) -----------
+# Model code is pure-functional and configs must stay hashable, so the mesh
+# cannot live in DecoderConfig; trainers activate a `pipeline_sharding` scope
+# around their step calls and `decoder_forward` routes the layer stack here
+# when the scope is live.
+
+_STATE = {"mesh": None, "axis": None, "n_micro": None}
+
+
+class pipeline_sharding:
+    """Scoped registration of (mesh, axis, n_micro) for GPipe execution of
+    the decoder layer stack. Mirrors sp.sequence_sharding so two trainers
+    with different meshes in one process can't cross-trace."""
+
+    def __init__(self, mesh: Optional[Mesh], axis: str = "model",
+                 n_micro: int = 4):
+        if mesh is not None and axis not in mesh.axis_names:
+            raise ValueError(f"axis {axis!r} not in mesh {mesh.axis_names}")
+        self._mesh, self._axis, self._n = mesh, axis, n_micro
+
+    def __enter__(self):
+        self._prev = dict(_STATE)
+        if self._mesh is not None:
+            _STATE.update(mesh=self._mesh, axis=self._axis, n_micro=self._n)
+        return self
+
+    def __exit__(self, *exc):
+        _STATE.update(self._prev)
+        return False
+
+
+def pipeline_enabled() -> bool:
+    return _STATE["mesh"] is not None
+
+
+def pipeline_state():
+    return _STATE["mesh"], _STATE["axis"], _STATE["n_micro"]
+
+
+def pp_batch_axes(mesh: Mesh, axis: str):
+    """Mesh axes the batch dim is sharded over inside the pipeline's
+    shard_map (every mesh axis except the pipeline-stage axis): keeps DP
+    intact so the pipeline composes with data parallelism instead of
+    all-gathering the batch onto every stage."""
+    return tuple(a for a in mesh.axis_names if a != axis and mesh.shape[a] > 1)
+
+
 def pp_decoder_layers(stacked_layers, h, cfg, positions, attention_mask,
-                      mesh: Mesh, axis: str = "model", n_micro: int = 4):
+                      mesh: Mesh, axis: str = "model", n_micro: int = 4,
+                      layer_keys=None, lora_dropout_rate: float = 0.0):
     """Run the decoder's layer stack [L, ...] as an S-stage GPipe pipeline.
 
     stacked_layers: the `params['layers']` pytree (leading L axis; L % S == 0).
-    h: [B, T, H] embeddings (B % n_micro == 0). Returns [B, T, H].
+    h: [B, T, H] embeddings (B_local % n_micro == 0, where B_local is the
+    per-DP-shard batch). The batch dim stays sharded over the non-pipeline
+    mesh axes. layer_keys: optional [L, 2] uint32 LoRA-dropout keys (one per
+    layer, sharded with the stage's layers). Returns [B, T, H].
     """
     from bioreason_tpu.models.qwen3 import _layer_forward
 
@@ -53,26 +104,40 @@ def pp_decoder_layers(stacked_layers, h, cfg, positions, attention_mask,
     l_total = jax.tree.leaves(stacked_layers)[0].shape[0]
     if l_total % s:
         raise ValueError(f"num_layers {l_total} not divisible by {s} stages")
-    if b % n_micro:
-        raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
+    baxes = pp_batch_axes(mesh, axis)
+    dp = 1
+    for a in baxes:
+        dp *= mesh.shape[a]
+    if b % dp or (b // dp) % n_micro:
+        raise ValueError(f"batch {b} not divisible by dp {dp} x n_micro {n_micro}")
 
     layer_spec = jax.tree.map(lambda _: P(axis), stacked_layers)
+    bspec3 = P(baxes or None, None, None)
+    bspec2 = P(baxes or None, None)
+    key_spec = P(axis, None)
+    if layer_keys is None:
+        layer_keys = jnp.zeros((l_total, 2), jnp.uint32)
 
     @functools.partial(
         _shard_map, mesh=mesh,
-        in_specs=(layer_spec, P(), P(), P()),
-        out_specs=P(), **_SM_KW)
-    def run(lp_local, h_all, pos_all, mask_all):
+        in_specs=(layer_spec, key_spec, bspec3, bspec2, bspec2),
+        out_specs=bspec3, **_SM_KW)
+    def run(lp_local, keys_local, h_all, pos_all, mask_all):
         stage = jax.lax.axis_index(axis)
-        mb = h_all.reshape(n_micro, b // n_micro, t, hid)
-        pos_mb = pos_all.reshape(n_micro, b // n_micro, t)
-        mask_mb = mask_all.reshape(n_micro, b // n_micro, t)
+        bl, t, hid = h_all.shape
+        mb = h_all.reshape(n_micro, bl // n_micro, t, hid)
+        pos_mb = pos_all.reshape(n_micro, bl // n_micro, t)
+        mask_mb = mask_all.reshape(n_micro, bl // n_micro, t)
 
         def stage_fn(x, pos, mask):
-            def body(carry, lp):
-                out, _ = _layer_forward(lp, carry, cfg, pos, mask, True)
+            def body(carry, xs):
+                lp, key = xs
+                drop = ((key, lora_dropout_rate)
+                        if lora_dropout_rate > 0.0 else None)
+                out, _ = _layer_forward(lp, carry, cfg, pos, mask, True,
+                                        lora_dropout=drop)
                 return out, None
-            out, _ = jax.lax.scan(body, x, lp_local)
+            out, _ = jax.lax.scan(body, x, (lp_local, keys_local))
             return out
 
         def tick(carry, ti):
@@ -106,9 +171,9 @@ def pp_decoder_layers(stacked_layers, h, cfg, positions, attention_mask,
         # outputs are only correct on the LAST stage; replicate them
         outs = jax.lax.psum(
             jnp.where(stage == s - 1, outs, jnp.zeros_like(outs)), axis)
-        return outs.reshape(b, t, hid)
+        return outs.reshape(bl, t, hid)
 
-    return run(stacked_layers, h, positions, attention_mask)
+    return run(stacked_layers, layer_keys, h, positions, attention_mask)
 
 
 def pp_decoder_forward(params, cfg, input_ids, attention_mask=None,

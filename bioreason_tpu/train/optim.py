@@ -15,6 +15,13 @@ from bioreason_tpu.config import OptimConfig
 
 
 def cosine_warmup_schedule(cfg: OptimConfig):
+    if cfg.warmup_ratio <= 0.0:
+        # no warmup: straight cosine from peak. (With warmup, step 0's lr is
+        # exactly 0 — the linear ramp starts at init_value — so the FIRST
+        # optimizer step is a no-op on the params; short smoke runs that
+        # assert a param delta after one step must set warmup_ratio=0.)
+        return optax.cosine_decay_schedule(
+            init_value=cfg.learning_rate, decay_steps=max(cfg.total_steps, 1))
     warmup = max(1, int(cfg.total_steps * cfg.warmup_ratio))
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,

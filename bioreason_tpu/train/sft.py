@@ -76,7 +76,11 @@ class SFTTrainer:
             from bioreason_tpu.train.quant import quantize_frozen_int8
             params = quantize_frozen_int8(params)
 
-        rules = partition_rules_fusion()
+        self._pp = cfg.pp_micro > 0 and self.mesh.shape.get("model", 1) > 1
+        if cfg.pp_micro > 0 and cfg.frozen_dtype == "int8":
+            raise ValueError("pp_micro with int8 frozen weights is untested; "
+                             "use bf16 frozen weights under PP")
+        rules = partition_rules_fusion(pp=self._pp)
         params = jax.device_put(params, shardings_for_params(params, rules, self.mesh))
 
         self.partition = T.make_partition(params, trainable_regex)
@@ -190,8 +194,13 @@ class SFTTrainer:
         from bioreason_tpu.parallel.sp import sequence_sharding
         return sequence_sharding(self._sp_mesh)
 
+    def _pp_scope(self):
+        from bioreason_tpu.parallel.pp import pipeline_sharding
+        return pipeline_sharding(self.mesh if self._pp else None,
+                                 n_micro=self.cfg.pp_micro)
+
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
-        with self._sp_scope():
+        with self._sp_scope(), self._pp_scope():
             db = self._device_batch(batch)
             self._rng, step_rng = jax.random.split(self._rng)
             self.train_leaves, self.opt_state, metrics = self._jit_step(
@@ -203,7 +212,7 @@ class SFTTrainer:
         return metrics
 
     def eval_step(self, batch: Dict[str, Any]) -> float:
-        with self._sp_scope():
+        with self._sp_scope(), self._pp_scope():
             db = self._device_batch(batch)
             return float(self._jit_eval(self.train_leaves, self.frozen_leaves,
                                         db))

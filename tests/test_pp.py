@@ -88,3 +88,53 @@ class TestPipelineParallel:
         bad = init_decoder(jax.random.PRNGKey(1), bad_cfg)
         with pytest.raises(ValueError, match="stages"):
             pp_decoder_forward(bad, bad_cfg, ids, mask, mesh=mesh, n_micro=4)
+
+
+class TestPPTrainer:
+    """SFTConfig.pp_micro wires the GPipe pipeline into the full trainer:
+    decoder layers shard one stage per 'model'-axis device, the batch stays
+    DP-sharded over 'data'/'fsdp', and losses match the TP/scan trainer."""
+
+    def _make(self, pp_micro, mesh_cfg, dropout=0.0):
+        from bioreason_tpu.config import (FusionConfig, LoRAConfig, OptimConfig,
+                                          SFTConfig)
+        from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+        from bioreason_tpu.data.collate import sft_collate
+        from bioreason_tpu.data.kegg import format_kegg_for_dna_llm, synthetic_kegg_items
+        from bioreason_tpu.parallel import make_mesh
+        from bioreason_tpu.train.sft import SFTTrainer
+
+        tok = ByteTextTokenizer()
+        proc = BioProcessor(tok, KmerTokenizer())
+        fusion_cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                       dna_pad_token_id=tok.dna_pad_id)
+        # warmup_ratio=0: with warmup, step 0's lr is exactly 0 and the
+        # params don't move, so the two-step dropout test would see
+        # bit-identical losses (LoRA b=0 makes dropout loss-neutral)
+        cfg = SFTConfig(batch_size=8, max_length_dna=64,
+                        optim=OptimConfig(total_steps=4, warmup_ratio=0.0),
+                        lora=LoRAConfig(r=4, alpha=8, dropout=dropout),
+                        pp_micro=pp_micro)
+        trainer = SFTTrainer(fusion_cfg, cfg, mesh=make_mesh(mesh_cfg))
+        items = [format_kegg_for_dna_llm(it)
+                 for it in synthetic_kegg_items(8, seq_len=48, seed=0)]
+        batch = sft_collate(items, proc, max_length_text=256, max_length_dna=64)
+        return trainer, batch
+
+    def test_pp_trainer_loss_matches_tp(self):
+        from bioreason_tpu.config import MeshConfig
+        t_pp, batch = self._make(2, MeshConfig(data=2, fsdp=2, model=2))
+        t_tp, _ = self._make(0, MeshConfig(data=2, fsdp=2, model=2))
+        m_pp = t_pp.train_step(batch)
+        m_tp = t_tp.train_step(batch)
+        assert np.isfinite(m_pp["loss"]) and m_pp["grad_norm"] > 0
+        np.testing.assert_allclose(m_pp["loss"], m_tp["loss"], rtol=2e-3)
+
+    def test_pp_trainer_with_dropout_runs(self):
+        from bioreason_tpu.config import MeshConfig
+        t_pp, batch = self._make(2, MeshConfig(data=4, fsdp=1, model=2),
+                                 dropout=0.1)
+        m1 = t_pp.train_step(batch)
+        m2 = t_pp.train_step(batch)
+        assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+        assert m2["loss"] != m1["loss"]          # the update moved the params
