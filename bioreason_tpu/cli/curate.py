@@ -19,13 +19,22 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--fasta", required=True, help="genome/contigs FASTA")
+    p.add_argument("--fasta", default=None,
+                   help="genome/contigs FASTA (optional for eqtl/omim rows "
+                        "that already carry ref/alt sequence columns)")
     p.add_argument("--variants", required=True,
                    help="TSV: chrom, pos (1-based), ref, alt, answer"
-                        "[, gene][, reasoning]")
+                        "[, gene][, reasoning]; eqtl/omim tables may instead "
+                        "carry ref_forward_sequence/alt_forward_sequence "
+                        "(+ tissue, chromosome, label) hub-style columns")
     p.add_argument("--task", default="kegg",
                    choices=["kegg", "variant_effect_coding",
-                            "variant_effect_non_snv"])
+                            "variant_effect_non_snv", "eqtl", "omim"])
+    p.add_argument("--split", default=None,
+                   help="eqtl/omim: split name baked into record IDs "
+                        "(Task2_{split}_{i}; defaults: eqtl=train, omim=test)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="eqtl/omim: question-paraphrase selection seed")
     p.add_argument("--flank", type=int, default=1000,
                    help="window half-width in nt (reference uses ±1000)")
     p.add_argument("--out", required=True, help="output JSONL path")
@@ -44,10 +53,25 @@ def main(argv=None):
                         "(e.g. GRCh38)")
     args = p.parse_args(argv)
 
-    from bioreason_tpu.data.curation import (curate_clinvar, curate_items,
+    from bioreason_tpu.data.curation import (curate_clinvar, curate_eqtl,
+                                             curate_items, curate_omim,
                                              read_clinvar_table, read_fasta,
+                                             read_task_table,
                                              read_variant_table, write_jsonl)
-    contigs = read_fasta(args.fasta)
+    contigs = read_fasta(args.fasta) if args.fasta else None
+    if args.task in ("eqtl", "omim"):
+        # VEP.ipynb tasks 2/3: hub-schema records (ID, question, answer,
+        # reference_sequence, variant_sequence) from a task table
+        rows = read_task_table(args.variants)
+        fn = curate_eqtl if args.task == "eqtl" else curate_omim
+        split = args.split or ("train" if args.task == "eqtl" else "test")
+        items = fn(rows, split=split, contigs=contigs, flank=args.flank,
+                   seed=args.seed, validate_ref=not args.skip_mismatches)
+        write_jsonl(items, args.out)
+        print(f"wrote {len(items)} items to {args.out}")
+        return
+    if args.fasta is None:
+        p.error(f"--task {args.task} requires --fasta")
     if args.clinvar:
         if args.task == "kegg":
             p.error("--clinvar emits VEP tasks; pick --task "

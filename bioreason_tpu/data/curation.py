@@ -234,6 +234,159 @@ def read_clinvar_table(path: str, assembly: Optional[str] = None) -> list:
     return out
 
 
+# ---------------------------------------------------------------------------
+# eQTL / OMIM VEP tasks (reference data/VEP.ipynb tasks 2 & 3: builds
+# `variant_effect_causal_eqtl` and `varient_effect_pathogenic_omim` —
+# the hub config keeps the reference's 'varient' typo — from tables of
+# pre-built ref/alt sequences, a bank of 50 question paraphrases formatted
+# with chromosome [+ tissue], and per-row IDs 'Task{N}_{split}_{i}').
+# The question bank here is generated compositionally (10 openings x 5
+# framings) rather than copied; per-row template choice is seeded, where the
+# notebook uses random.randrange(50).
+# ---------------------------------------------------------------------------
+
+_EQTL_OPENINGS = [
+    "This variant is isolated from Chromosome {chrom} in {tissue} tissue.",
+    "This variant originates from Chromosome {chrom} in {tissue} tissue.",
+    "The following variant was found on Chromosome {chrom} in {tissue} tissue.",
+    "Consider a variant located on Chromosome {chrom}, sampled from {tissue} tissue.",
+    "A mutation on Chromosome {chrom} was identified in {tissue} tissue.",
+    "Here is a variant from Chromosome {chrom}, observed in {tissue} tissue.",
+    "The variant below lies on Chromosome {chrom} and comes from {tissue} tissue.",
+    "This genetic alteration sits on Chromosome {chrom} in {tissue} tissue.",
+    "An allele difference on Chromosome {chrom} was detected in {tissue} tissue.",
+    "The sequenced variant maps to Chromosome {chrom} in {tissue} tissue.",
+]
+_EQTL_FRAMINGS = [
+    "Does this variant change gene expression?",
+    "Does it alter gene expression levels?",
+    "Is gene expression affected by this variant?",
+    "Will this variant cause a change in how genes are expressed?",
+    "Is there a detectable effect on gene expression?",
+]
+
+_OMIM_OPENINGS = [
+    "This variant is located on Chromosome {chrom}.",
+    "The following variant lies on Chromosome {chrom}.",
+    "Consider this variant from Chromosome {chrom}.",
+    "A mutation was identified on Chromosome {chrom}.",
+    "Here is a variant mapping to Chromosome {chrom}.",
+    "The sequenced variant sits on Chromosome {chrom}.",
+    "An allele difference was detected on Chromosome {chrom}.",
+    "This genetic alteration is on Chromosome {chrom}.",
+    "The variant below originates from Chromosome {chrom}.",
+    "Chromosome {chrom} harbors this variant.",
+]
+_OMIM_FRAMINGS = [
+    "Is it pathogenic or benign?",
+    "Is this variant classified as benign or pathogenic?",
+    "Would you consider it benign or pathogenic?",
+    "What is its clinical impact — benign or pathogenic?",
+    "How should it be labeled: pathogenic or benign?",
+]
+
+
+def question_bank(task: str) -> list:
+    """50 question paraphrases for a VEP task ('eqtl' | 'omim'), with
+    {chrom} (and {tissue} for eqtl) format fields — the local stand-in for
+    the notebook's 50 GPT-generated question variants (VEP.ipynb)."""
+    if task == "eqtl":
+        return [f"{o} {f}" for o in _EQTL_OPENINGS for f in _EQTL_FRAMINGS]
+    if task == "omim":
+        return [f"{o} {f}" for o in _OMIM_OPENINGS for f in _OMIM_FRAMINGS]
+    raise ValueError(f"no question bank for task {task!r}")
+
+
+def _vep_sequences(row: dict, contigs: Optional[Dict[str, str]],
+                   flank: int, validate_ref: bool):
+    """(ref_seq, alt_seq) for a task row: taken directly from sequence
+    columns when present (the hub datasets ship ref_forward_sequence /
+    alt_forward_sequence pre-built), else windowed from the genome."""
+    ref_seq = row.get("reference_sequence") or row.get("ref_forward_sequence")
+    alt_seq = (row.get("variant_sequence") or row.get("alt_forward_sequence")
+               or row.get("mutated_sequence"))
+    if ref_seq and alt_seq:
+        return ref_seq.upper(), alt_seq.upper()
+    if contigs is None:
+        raise ValueError("row has no sequence columns and no FASTA was given")
+    chrom = row["chrom"]
+    if chrom not in contigs:
+        raise KeyError(f"contig {chrom!r} not in FASTA")
+    variant = Variant(position=int(row["pos"]) - 1,
+                      ref_allele=row["ref"].replace("-", ""),
+                      alt_allele=row["alt"].replace("-", ""))
+    window, offset = extract_window(contigs[chrom], variant.position, flank)
+    alt_window = apply_variant(window, offset, variant, validate=validate_ref)
+    return window.upper(), alt_window.upper()
+
+
+def curate_eqtl(rows: list, split: str = "train",
+                contigs: Optional[Dict[str, str]] = None, flank: int = 1000,
+                seed: int = 0, validate_ref: bool = True) -> list:
+    """Causal-eQTL task rows -> hub-schema records (VEP.ipynb task 2):
+    {ID, question, answer, reference_sequence, variant_sequence} with
+    'Task2_{split}_{i}' IDs and chromosome+tissue-templated questions.
+    Rows need `tissue`, `chromosome` (or `chrom`) and `label` (or `answer`)
+    plus either sequence columns or chrom/pos/ref/alt against `contigs`."""
+    import random
+    rng = random.Random(seed)
+    bank = question_bank("eqtl")
+    items = []
+    for i, row in enumerate(rows):
+        chrom = row.get("chromosome") or row.get("chrom", "")
+        ref_seq, alt_seq = _vep_sequences(row, contigs, flank, validate_ref)
+        items.append({
+            "ID": f"Task2_{split}_{i}",
+            "question": bank[rng.randrange(len(bank))].format(
+                chrom=chrom, tissue=row.get("tissue", "")),
+            "answer": str(row.get("label", row.get("answer", ""))),
+            "reference_sequence": ref_seq,
+            "variant_sequence": alt_seq,
+        })
+    return items
+
+
+def curate_omim(rows: list, split: str = "test",
+                contigs: Optional[Dict[str, str]] = None, flank: int = 1000,
+                seed: int = 0, validate_ref: bool = True) -> list:
+    """Pathogenic-OMIM task rows -> hub-schema records (VEP.ipynb task 3,
+    test-only in the reference): 'Common' labels map to 'Benign'
+    (task_3['label'].apply, VEP.ipynb) and questions are
+    chromosome-templated pathogenic/benign paraphrases."""
+    import random
+    rng = random.Random(seed)
+    bank = question_bank("omim")
+    items = []
+    for i, row in enumerate(rows):
+        chrom = row.get("chromosome") or row.get("chrom", "")
+        label = str(row.get("label", row.get("answer", "")))
+        if label == "Common":
+            label = "Benign"
+        ref_seq, alt_seq = _vep_sequences(row, contigs, flank, validate_ref)
+        items.append({
+            "ID": f"Task3_{split}_{i}",
+            "question": bank[rng.randrange(len(bank))].format(chrom=chrom),
+            "answer": label,
+            "reference_sequence": ref_seq,
+            "variant_sequence": alt_seq,
+        })
+    return items
+
+
+def read_task_table(path: str) -> list:
+    """TSV/CSV with arbitrary VEP-task columns (sequence columns or
+    chrom/pos/ref/alt; tissue/chromosome/label as available). Returns row
+    dicts; no required-column check — the curators validate per task."""
+    import csv
+    with open(path) as f:
+        first = f.readline()
+        f.seek(0)
+        delim = "\t" if "\t" in first else ","
+        reader = csv.DictReader(
+            (l for l in f if not l.startswith("#")), delimiter=delim)
+        return list(reader)
+
+
 def curate_clinvar(contigs: Dict[str, str], rows: list, task: str,
                    flank: int = 1000, validate_ref: bool = True) -> list:
     """ClinVar rows -> VEP training items for `task`

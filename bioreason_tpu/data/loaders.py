@@ -26,13 +26,16 @@ from bioreason_tpu.data.kegg import process_kegg_item
 def _normalize(item: Dict[str, Any]) -> Dict[str, Any]:
     if "reasoning" in item and isinstance(item["reasoning"], dict):
         return process_kegg_item(item)
-    return {
+    out = {
         "question": item.get("question", ""),
         "answer": str(item.get("answer", "")).strip(),
         "reasoning": item.get("reasoning", "") or "",
         "reference_sequence": item.get("reference_sequence", "").upper().strip(),
         "variant_sequence": item.get("variant_sequence", "").upper().strip(),
     }
+    if "ID" in item:       # hub-schema record ids (VEP tasks 2/3)
+        out["ID"] = item["ID"]
+    return out
 
 
 def load_local_dataset(path: str) -> List[Dict[str, Any]]:

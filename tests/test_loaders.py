@@ -122,6 +122,71 @@ class TestCurationPipeline:
         assert len(kept) == 2
 
 
+class TestEqtlOmimCuration:
+    """VEP.ipynb tasks 2/3 parity: hub-schema records for the causal-eQTL
+    and pathogenic-OMIM tasks, from sequence tables or genome windows."""
+
+    def test_question_banks(self):
+        from bioreason_tpu.data.curation import question_bank
+        eqtl, omim = question_bank("eqtl"), question_bank("omim")
+        # the notebook uses 50 GPT-paraphrased questions per task
+        assert len(set(eqtl)) == 50 and len(set(omim)) == 50
+        assert all("{chrom}" in q and "{tissue}" in q for q in eqtl)
+        assert all("{chrom}" in q and "{tissue}" not in q for q in omim)
+
+    def test_eqtl_from_sequence_table(self, tmp_path):
+        from bioreason_tpu.cli.curate import main as curate_main
+        from bioreason_tpu.data.loaders import load_local_dataset
+        from bioreason_tpu.data.variant_effect import format_variant_effect_for_dna_llm
+        p = tmp_path / "eqtl.tsv"
+        p.write_text(
+            "chromosome\ttissue\tlabel\tref_forward_sequence\talt_forward_sequence\n"
+            "7\tLiver\tYes\tacgtacgt\tacctacgt\n"
+            "X\tBrain - Cortex\tNo\tggggcccc\tggtgcccc\n")
+        out = tmp_path / "eqtl.jsonl"
+        curate_main(["--variants", str(p), "--task", "eqtl",
+                     "--out", str(out)])
+        items = load_local_dataset(str(out))
+        assert [it["ID"] for it in items] == ["Task2_train_0", "Task2_train_1"]
+        assert items[0]["answer"] == "Yes"
+        assert "Chromosome 7" in items[0]["question"]
+        assert "Liver" in items[0]["question"]
+        assert items[0]["reference_sequence"] == "ACGTACGT"
+        assert items[1]["variant_sequence"] == "GGTGCCCC"
+        # hub-schema records feed the VEP dataset-layer formatter directly
+        ex = format_variant_effect_for_dna_llm(items[0])
+        assert ex["dna_sequences"] == ["ACGTACGT", "ACCTACGT"]
+
+    def test_omim_from_genome_windows(self, tmp_path):
+        from bioreason_tpu.data.curation import curate_omim, read_task_table
+        p = tmp_path / "omim.csv"
+        genome = "ACGT" * 10
+        p.write_text("chrom,pos,ref,alt,label\n"
+                     "chr1,3,G,T,Pathogenic\n"
+                     "chr1,13,A,C,Common\n")
+        rows = read_task_table(str(p))
+        items = curate_omim(rows, contigs={"chr1": genome}, flank=4)
+        assert [it["ID"] for it in items] == ["Task3_test_0", "Task3_test_1"]
+        # 'Common' maps to 'Benign' (VEP.ipynb task_3 label apply)
+        assert [it["answer"] for it in items] == ["Pathogenic", "Benign"]
+        assert "pathogenic" in items[0]["question"].lower()
+        assert "benign" in items[0]["question"].lower()
+        assert items[0]["reference_sequence"] in genome
+        assert items[0]["reference_sequence"] != items[0]["variant_sequence"]
+
+    def test_seeded_questions_reproducible(self):
+        from bioreason_tpu.data.curation import curate_eqtl
+        rows = [{"chromosome": "1", "tissue": "Lung", "label": "Yes",
+                 "reference_sequence": "AAAA", "variant_sequence": "AACA"}
+                for _ in range(8)]
+        a = curate_eqtl(rows, seed=3)
+        b = curate_eqtl(rows, seed=3)
+        c = curate_eqtl(rows, seed=4)
+        assert [x["question"] for x in a] == [x["question"] for x in b]
+        assert [x["question"] for x in a] != [x["question"] for x in c]
+        assert len({x["question"] for x in a}) > 1    # paraphrases vary
+
+
 class TestPrefetch:
     def test_same_sequence(self):
         from bioreason_tpu.train.dataflow import batch_iterator, prefetch
