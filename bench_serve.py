@@ -137,7 +137,8 @@ def main(argv=None):
         nw = max(tm.get("windows", 0), 1)
         print("window probe: "
               + " ".join(f"{k}={tm[k]:.2f}s" for k in
-                         ("upload", "dispatch", "toks_wait", "replay")
+                         ("upload", "admit", "dispatch", "toks_wait",
+                          "replay", "pack")
                          if k in tm)
               + f" windows={tm.get('windows', 0)}"
               f" mean_occupancy={tm.get('rows', 0) / (nw * args.capacity):.2f}",

@@ -150,14 +150,16 @@ class ContinuousBatcher:
         self._patch_slots: set = set()
         self._jit_patch = jax.jit(self._patch_rows,
                                   donate_argnums=(0, 1, 2, 3, 4, 5, 6))
-        # drain compaction (run_pipelined): live rows gather into half-size
-        # pools once the queue drains — per-row KV reads dominate step cost.
-        # compact_min: smallest capacity that still compacts (floor cap/2)
-        self._compacted = False
-        self.compact_min = 32
-        # (no donation: the gathered pools are half-size, so the inputs
-        # can never be reused in place — donating only emits warnings)
-        self._jit_gather_pools = jax.jit(self._gather_pools)
+        # row buckets (cb): decode windows read/compute only pool rows
+        # [:cb] where cb covers the highest active slot — the step's cost
+        # is dominated by per-row KV reads, so a half-occupied pool decodes
+        # at ~half cost. Admission fills lowest-free-first and the drain
+        # phase packs live rows to the front (_pack_front), stepping cb
+        # down the ladder; pool SHAPES never change (no capacity-mutating
+        # compaction/restore cycle).
+        self.row_buckets = sorted({capacity, max(1, capacity // 2),
+                                   max(1, capacity // 4)})
+        self._jit_pack = {}
         self._pending_first: List[tuple] = []    # deferred install records
         self._finished_backlog: List[Request] = []
         # device-resident decode state (see _upload_state / step_window)
@@ -290,7 +292,8 @@ class ContinuousBatcher:
 
     def _multi_step(self, params, prompt_pool, dec_pool, prompt_mask,
                     last_token, positions, dec_len, active, greedy_row, rng,
-                    gstate, g_next=None, g_acc=None, *, k: int, w: int):
+                    gstate, g_next=None, g_acc=None, *, k: int, w: int,
+                    cb: Optional[int] = None):
         """`k` decode steps fully on device: host<->device sync drops from
         per-token to per-window. The scan carries ONLY this window's K/V
         ([C,k] per layer) plus scalar-per-row state; the prompt pool is a
@@ -307,18 +310,36 @@ class ContinuousBatcher:
         XLA never touches the rest) instead of streaming all N_max columns
         of the [C, N_max] pool every step. Early in requests' lives this
         cuts the decode step's dominant HBM traffic; the window fold-in
-        scatter still targets the full pool."""
+        scatter still targets the full pool.
+
+        `cb` (static): ROW bucket — the scheduler keeps active slots packed
+        at the front (lowest-free-first admission + drain-phase
+        `_pack_front`), so the window computes/reads only pool rows [:cb]
+        where cb >= 1 + highest active slot. The step's dominant cost is
+        per-row KV reads, so a half-occupied pool decodes at ~half cost.
+        All state writes go back into the FULL donated buffers in place —
+        pool shapes never change (unlike capacity-mutating compaction).
+        Returned toks are [k, cb]."""
         cfg = self.cfg.decoder
         s = self.sampling
         dtype = jnp.dtype(cfg.dtype)
         guided = g_next is not None
-        c = last_token.shape[0]      # row count from inputs, not
-        hkv, d = cfg.num_kv_heads, cfg.head_dim    # self.capacity: the same
-        # traced fn serves drain-compacted sub-capacity pools
+        c_full = last_token.shape[0]
+        cb = c_full if cb is None else min(cb, c_full)
+        c = cb
+        hkv, d = cfg.num_kv_heads, cfg.head_dim
+        full_state = (last_token, positions, dec_len, active, gstate)
+        if cb < c_full:
+            row = lambda x: x[:cb]
+            prompt_pool = [jax.tree.map(row, e) for e in prompt_pool]
+            prompt_mask = prompt_mask[:cb]
+            last_token, positions, dec_len, active, gstate = map(
+                row, full_state)
+            greedy_row = greedy_row[:cb]
 
         # decode-history validity is FIXED for the whole window: this
         # window's tokens live in the window buffer, not the decode pool
-        dec_view = [jax.tree.map(lambda x: x[:, :w], e) for e in dec_pool]
+        dec_view = [jax.tree.map(lambda x: x[:cb, :w], e) for e in dec_pool]
         dec_hist_mask = (jnp.arange(w)[None, :]
                          < dec_len[:, None]).astype(jnp.int32)
         win_kv = [(jnp.zeros((c, k, hkv, d), dtype),
@@ -392,7 +413,8 @@ class ContinuousBatcher:
         # fold the window into the decode pool: one batched per-row scatter
         # per layer per WINDOW (donated pool -> in-place). Garbage columns
         # (post-EOS steps) land beyond each row's final dec_len and stay
-        # masked; columns past N_max drop.
+        # masked; columns past N_max drop. Under row bucketing the scatter
+        # touches only rows [:cb] of the full donated pool.
         rows = jnp.arange(c)[:, None]
         cols = dec_len[:, None] + jnp.arange(k)[None, :]
         cols = jnp.where(cols < self.max_new, cols, self.max_new)  # drop row
@@ -417,6 +439,14 @@ class ContinuousBatcher:
                         wv.astype(entry["v"].dtype), mode="drop"),
                 })
         dec_len = dec_len + jnp.sum(was_active.astype(jnp.int32), axis=0)
+        if cb < c_full:
+            # write the bucketed state back into the full donated buffers
+            f_last, f_pos, f_dlen, f_act, f_gst = full_state
+            last_token = f_last.at[:cb].set(last_token)
+            positions = f_pos.at[:cb].set(positions)
+            dec_len = f_dlen.at[:cb].set(dec_len)
+            active = f_act.at[:cb].set(active)
+            gstate = f_gst.at[:cb].set(gstate)
         return (new_pool, last_token, positions, dec_len, active, rng,
                 gstate), toks
 
@@ -808,16 +838,43 @@ class ContinuousBatcher:
         `n`, clamped to N_max. 0 when no row has history yet (fresh pool)."""
         return min(self.max_new, ((n + 31) // 32) * 32)
 
-    def _get_multi(self, k: int, w: int):
-        if (k, w) not in self._jit_multi:
+    def _row_bucket(self, n: int) -> int:
+        """Smallest row bucket covering the first `n` slots."""
+        for b in self.row_buckets:
+            if b >= n:
+                return b
+        return self.capacity
+
+    def _hwm(self) -> int:
+        """1 + highest active slot per the host mirrors — a safe upper
+        bound on device-active rows for the NEXT window (mirrors can lag
+        active-high after device-side EOS, never active-low: quota retires
+        and finishes patch/upload before the next dispatch)."""
+        nz = np.nonzero(self.active)[0]
+        return int(nz[-1]) + 1 if len(nz) else 0
+
+    def _get_multi(self, k: int, w: int, cb: Optional[int] = None):
+        cb = self.capacity if cb is None else cb
+        if (k, w, cb) not in self._jit_multi:
             import functools
             # donate the decode pool and the per-row state (all returned);
             # prompt pool/mask and greedy_row are REUSED across calls and
             # must survive. gstate is positional so its donation applies.
-            self._jit_multi[(k, w)] = jax.jit(
-                functools.partial(self._multi_step, k=k, w=w),
+            self._jit_multi[(k, w, cb)] = jax.jit(
+                functools.partial(self._multi_step, k=k, w=w, cb=cb),
                 donate_argnums=(2, 4, 5, 6, 7, 9, 10))
-        return self._jit_multi[(k, w)]
+        return self._jit_multi[(k, w, cb)]
+
+    def _window_shape(self, lag: int = 0):
+        """(w, cb) for the next decode window. Row buckets below capacity
+        pair with the FULL history width: the row count is already small
+        there, and one variant per sub-capacity bucket bounds the compile
+        count (capacity pairs with the w ladder as before)."""
+        cb = self._row_bucket(max(1, self._hwm()))
+        if cb < self.capacity:
+            return self.max_new, cb
+        bound = int(self.dec_len[self.active].max(initial=0)) + lag
+        return self._hist_bucket(min(bound, self.max_new)), cb
 
     def _upload_state(self):
         """Push the host scheduling mirrors to device. Needed only when they
@@ -848,7 +905,7 @@ class ContinuousBatcher:
         if not self.active.any():
             finished.extend(self._resolve_pending())
             return finished
-        w = self._hist_bucket(int(self.dec_len[self.active].max(initial=0)))
+        w, cb = self._window_shape()
         if self._dev_state is None or self._dev_dirty:
             self._upload_state()
         if tm is not None:
@@ -861,7 +918,7 @@ class ContinuousBatcher:
                                             rec[6], self._dev_greedy)
         gkw = (dict(g_next=self.guided.next_state, g_acc=self.guided.accepting)
                if self.guided is not None else {})
-        carry, toks = self._get_multi(k, w)(
+        carry, toks = self._get_multi(k, w, cb)(
             self.params, self.prompt_pool, self.dec_pool, pmask, last, pos,
             dlen, act, self._dev_greedy, self._rng, gst, **gkw)
         (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
@@ -974,8 +1031,13 @@ class ContinuousBatcher:
         hist.append(self.max_new)
         for win in windows:
             win = max(1, win)
-            for hb in hist:
-                carry, _ = self._get_multi(win, hb)(
+            # full-capacity windows pair with the w ladder; sub-capacity
+            # row buckets pair with the full history width (_window_shape)
+            shapes = ([(hb, self.capacity) for hb in hist]
+                      + [(self.max_new, cbi) for cbi in self.row_buckets
+                         if cbi < self.capacity])
+            for hb, cbi in shapes:
+                carry, _ = self._get_multi(win, hb, cbi)(
                     self.params, self.prompt_pool, self.dec_pool,
                     jnp.asarray(self.prompt_mask),
                     jnp.asarray(self.last_token),
@@ -983,6 +1045,11 @@ class ContinuousBatcher:
                     jnp.asarray(self.active), jnp.asarray(self.greedy_row),
                     self._rng, jnp.asarray(self.gstate), **gkw)
                 self.dec_pool, self._rng = carry[0], carry[5]
+        for b in self.row_buckets:
+            if b < self.capacity:          # identity rows: state-neutral
+                self.prompt_pool, self.dec_pool = self._get_pack(b)(
+                    self.prompt_pool, self.dec_pool,
+                    jnp.arange(b, dtype=jnp.int32))
         self._dev_dirty = True
 
     def run(self, requests: List[Request], window: int = 1) -> List[Request]:
@@ -1039,14 +1106,8 @@ class ContinuousBatcher:
         for rec in self._pending_first:
             last, act = self._jit_fix_first(last, act, rec[2], rec[5],
                                             rec[6], self._dev_greedy)
-        if self._compacted:
-            # one jit variant per sub-capacity: read the full history width
-            # (cheap at reduced row count) instead of compiling per bucket
-            w = self.max_new
-        else:
-            bound = int(self.dec_len[self.active].max(initial=0)) + lag
-            w = self._hist_bucket(min(bound, self.max_new))
-        carry, toks = self._get_multi(k, w)(
+        w, cb = self._window_shape(lag)
+        carry, toks = self._get_multi(k, w, cb)(
             self.params, self.prompt_pool, self.dec_pool, pmask, last, pos,
             dlen, act, self._dev_greedy, self._rng, gst)
         (self.dec_pool, last, pos, dlen, act, self._rng, gst) = carry
@@ -1088,74 +1149,47 @@ class ContinuousBatcher:
                     break
         return finished
 
-    def _gather_pools(self, prompt_pool, dec_pool, rows):
-        take = lambda x: x[rows]
-        return (jax.tree.map(take, prompt_pool), jax.tree.map(take, dec_pool))
+    def _get_pack(self, b: int):
+        if b not in self._jit_pack:
+            def pack(prompt_pool, dec_pool, rows):
+                mv = lambda x: x.at[:rows.shape[0]].set(x[rows])
+                return (jax.tree.map(mv, prompt_pool),
+                        jax.tree.map(mv, dec_pool))
+            self._jit_pack[b] = jax.jit(pack, donate_argnums=(0, 1))
+        return self._jit_pack[b]
 
-    def _compact_drain(self):
-        """Drain-phase pool compaction: gather the live rows into half-size
-        pools and carry on at the reduced capacity. The decode step's cost
-        is dominated by per-row KV reads (measured ~2.6 ms/step at C=32 vs
-        ~7.3 ms at C=128 for the 0.6B serving shape), so once the queue is
-        empty and occupancy has fallen to half, smaller pools roughly halve
-        the remaining drain cost. Mirrors are authoritative here (no window
-        in flight), so only the pools move on device; the scalar state
-        re-uploads from the compacted mirrors."""
-        cap2 = self.capacity // 2
-        live = np.nonzero(self.active)[0]
-        rows_np = np.zeros((cap2,), np.int32)
-        rows_np[:len(live)] = live
-        self.prompt_pool, self.dec_pool = self._jit_gather_pools(
-            self.prompt_pool, self.dec_pool, jax.device_put(rows_np))
-
-        def take(v, fill=0):
-            out = np.full((cap2,) + v.shape[1:], fill, v.dtype)
-            out[:len(live)] = v[live]
-            return out
-        self.prompt_mask = take(self.prompt_mask)
-        self.positions = take(self.positions)
-        self.dec_len = take(self.dec_len)
-        self.last_token = take(self.last_token)
-        self.active = take(self.active)
-        self.greedy_row = take(self.greedy_row)
-        self.gstate = take(self.gstate)
-        self._by_slot = ([self._by_slot[s] for s in live]
-                         + [None] * (cap2 - len(live)))
-        self._slot_key = [None] * cap2
-        self._retained.clear()
-        self.capacity = cap2
-        self._compacted = True
-        self._patch_slots.clear()     # superseded by the fresh upload
+    def _pack_front(self):
+        """Drain-phase slot packing: gather the live rows to the FRONT of
+        the (same-size) pools so the next windows' row bucket (cb) steps
+        down the ladder. The decode step's cost is dominated by per-row KV
+        reads (measured ~2.6 ms/step at 32 rows vs ~7.3 ms at 128 for the
+        0.6B serving shape), so halving the read rows roughly halves the
+        remaining drain cost. Cost: one in-place gather of <= bucket rows.
+        Mirrors must be authoritative (no window in flight); prefix
+        retention is incompatible with moving rows, so run_pipelined skips
+        packing when prefix_cache is on."""
+        live = np.nonzero(self.active)[0].astype(np.int32)
+        n = len(live)
+        b = self._row_bucket(max(1, n))
+        rows = np.arange(b, dtype=np.int32)
+        rows[:n] = live                    # rows[i >= n] = i: identity write
+        self.prompt_pool, self.dec_pool = self._get_pack(b)(
+            self.prompt_pool, self.dec_pool, jax.device_put(rows))
+        for name in ("prompt_mask", "positions", "dec_len", "last_token",
+                     "gstate"):
+            arr = getattr(self, name)
+            packed = arr[live]
+            arr[:] = 0
+            arr[:n] = packed
+        g = self.greedy_row[live]
+        self.greedy_row[:] = False
+        self.greedy_row[:n] = g
+        self.active[:] = False
+        self.active[:n] = True
+        self._by_slot = ([self._by_slot[i] for i in live]
+                         + [None] * (self.capacity - n))
+        self._patch_slots.clear()          # superseded by the fresh upload
         self._upload_state()
-
-    def _restore_capacity(self, orig: int):
-        """Undo drain compaction once a run finishes: all rows are idle, so
-        the pools re-initialize at full capacity (content is dead; prefix
-        retention was already dropped at compaction)."""
-        if self.capacity == orig:
-            return
-        dec = self.cfg.decoder
-        dtype = jnp.dtype(dec.dtype)
-        self.prompt_pool = init_cache(dec, orig, self.max_len, dtype,
-                                      quantize=self.kv_int8)
-        self.dec_pool = init_cache(dec, orig, self.max_new, dtype,
-                                   quantize=self.kv_int8)
-        self.prompt_mask = np.zeros((orig, self.max_len), np.int32)
-        self.positions = np.zeros((orig,), np.int32)
-        self.dec_len = np.zeros((orig,), np.int32)
-        self.last_token = np.zeros((orig,), np.int32)
-        self.active = np.zeros((orig,), bool)
-        self.greedy_row = np.zeros((orig,), bool)
-        self.gstate = np.zeros((orig,), np.int32)
-        self._by_slot = [None] * orig
-        self._slot_key = [None] * orig
-        self._retained.clear()
-        if self.prefix_cache:
-            self._last_hidden = jnp.zeros((orig + 1, dec.hidden_size), dtype)
-        self.capacity = orig
-        self._compacted = False
-        self._dev_state = None
-        self._dev_dirty = True
 
     def run_pipelined(self, requests: List[Request],
                       window: int = 8) -> List[Request]:
@@ -1180,11 +1214,12 @@ class ContinuousBatcher:
         resolution and falls back to run()."""
         if self.guided is not None:
             return self.run(requests, window=window)
+        tm = self.timers
+        clk = time.perf_counter
         pending = list(requests)
         done: List[Request] = list(self._finished_backlog)
         self._finished_backlog.clear()
         self.pipelined = True
-        orig_capacity = self.capacity
         try:
             if self._dev_state is None or self._dev_dirty:
                 self._upload_state()
@@ -1203,29 +1238,49 @@ class ContinuousBatcher:
                             self.active[slot] = False
                             self._patch_slots.add(slot)
                 if (inflight is not None and not pending
-                        and not self._pending_first and not self.prefix_cache
-                        and self.capacity >= self.compact_min
-                        and int(self.active.sum()) <= self.capacity // 2):
-                    # drain: resolve the in-flight window (one pipeline
-                    # bubble), halve the pools, continue at sub-capacity
-                    done.extend(self._replay_window(inflight))
-                    inflight = None
-                    self._compact_drain()
-                    continue
+                        and not self._pending_first
+                        and not self.prefix_cache):
+                    live = int(self.active.sum())
+                    if (live and self._row_bucket(live)
+                            < self._row_bucket(self._hwm())):
+                        # drain: resolve the in-flight window (one pipeline
+                        # bubble), pack live rows to the front, and step
+                        # the row bucket down for the remaining windows
+                        t0 = clk() if tm is not None else 0.0
+                        done.extend(self._replay_window(inflight))
+                        inflight = None
+                        if self.active.any():
+                            self._pack_front()
+                        if tm is not None:
+                            tm["pack"] = tm.get("pack", 0.0) + clk() - t0
+                        continue
+                t0 = clk() if tm is not None else 0.0
                 done.extend(r for r in self.admit_many(pending) if r.done)
+                if tm is not None:
+                    t1 = clk()
+                    tm["admit"] = tm.get("admit", 0.0) + t1 - t0
+                    t0 = t1
                 nxt = None
                 if self.active.any() or self._pending_first:
                     nxt = self._dispatch_window(
                         window, inflight[2] if inflight else 0)
+                    if tm is not None:
+                        tm["windows"] = tm.get("windows", 0) + 1
+                        tm["rows"] = tm.get("rows", 0) + int(self.active.sum())
+                if tm is not None:
+                    t1 = clk()
+                    tm["dispatch"] = tm.get("dispatch", 0.0) + t1 - t0
+                    t0 = t1
                 if inflight is not None:
                     done.extend(self._replay_window(inflight))
                 done.extend(self._resolve_pending())
+                if tm is not None:
+                    tm["replay"] = tm.get("replay", 0.0) + clk() - t0
                 inflight = nxt
             done.extend(self._finished_backlog)
             self._finished_backlog.clear()
         finally:
             self.pipelined = False
             self._patch_slots.clear()
-            self._restore_capacity(orig_capacity)
             self._dev_dirty = True     # mirrors are authoritative again
         return done

@@ -303,16 +303,19 @@ class TestPipelined:
         cb.run_pipelined([later], window=2)
         assert cb.prefill_calls == n and later.tokens == want
 
-    def test_drain_compaction(self, setup):
-        """Once the queue drains to half occupancy the pools halve
-        (possibly repeatedly); tokens stay identical and the batcher
-        restores full capacity when the run completes."""
+    def test_drain_packing(self, setup):
+        """Once the queue drains, live rows pack to the front and the
+        decode windows step down the row-bucket ladder (cb); tokens stay
+        identical and the pools (shape-stable) serve the next run."""
         cfg, params, engine = setup
+        # the long request admits LAST (slot 3): after the shorts finish,
+        # the lone live row sits at the back — exactly the layout packing
+        # exists to fix (live at slot 0 would shrink cb via hwm alone)
         mk = lambda: [
-            _make_request(0, "long request one " * 4, max_new=12),
             _make_request(1, "short a", max_new=2),
             _make_request(2, "short b request", max_new=2),
             _make_request(3, "short c text here", max_new=3),
+            _make_request(0, "long request one " * 4, max_new=12),
         ]
         base = mk()
         ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
@@ -321,14 +324,15 @@ class TestPipelined:
         reqs = mk()
         cb = ContinuousBatcher(params, cfg, eos_token_id=TOK.eos_token_id,
                                capacity=4, max_len=256, prompt_bucket=64)
-        cb.compact_min = 2                       # let the tiny pool compact
+        assert cb.row_buckets == [1, 2, 4]
+        cb.timers = {}
         done = cb.run_pipelined(reqs, window=2)
         assert len(done) == len(reqs)
         for got, want in zip(reqs, base):
             assert got.tokens == want.tokens
-        assert cb.capacity == 4                  # restored after the run
-        assert not cb._compacted
-        # a fresh batch runs fine on the restored pools
+        assert cb.capacity == 4                  # shape-stable pools
+        assert "pack" in cb.timers               # the drain branch fired
+        # a fresh batch runs fine on the packed pools
         again = mk()
         done = cb.run_pipelined(again, window=2)
         for got, want in zip(again, base):
