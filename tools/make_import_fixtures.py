@@ -134,6 +134,108 @@ def make_evo2_fixture():
                os.path.join(ASSETS, "evo2_tiny.pt"))
 
 
+def evo2_1b_depth_cfgdict():
+    """Truncated-WIDTH (D=16) but depth-REAL Evo2-1B layout: 25 blocks,
+    striped attention (every 7th block, i.e. blocks 6/13/20) interleaving
+    the se/mr/li cycle, REAL per-operator sizes (li_order=16 poles,
+    medium_filter_len=128, se_filter_len=7, short=3) and the reference's
+    embedding-tap depth blocks.20.mlp.l3 (sh_train_dna_qwen.sh:65).
+    VERDICT r3 missing #3 / next #6: a systematic misreading of the
+    full-scale layout (flavor cycling at depth, real pole counts) must
+    fail a committed-fixture test."""
+    from bioreason_tpu.config import HyenaConfig
+    base = HyenaConfig.evo2_1b()
+    flavors = tuple(base.flavor(i) for i in range(base.num_layers))
+    return dict(D=16, I=24, V=32, HEADS=2,
+                SHORT=base.short_filter_len, SE_LEN=base.se_filter_len,
+                MR_LEN=base.medium_filter_len, ORDER=base.li_order,
+                FLAVORS=flavors)
+
+
+def make_evo2_1b_depth_fixture():
+    import torch
+    ev = evo2_1b_depth_cfgdict()
+    D, I, V = ev["D"], ev["I"], ev["V"]
+    rng = np.random.default_rng(11)
+
+    def w(*shape, s=0.25):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    state = {"embedding_layer.weight": w(V, D), "norm.scale": 1 + 0.1 * w(D)}
+    for i, fl in enumerate(ev["FLAVORS"]):
+        p = f"blocks.{i}"
+        state[f"{p}.pre_norm.scale"] = 1 + 0.1 * w(D)
+        state[f"{p}.post_norm.scale"] = 1 + 0.1 * w(D)
+        state[f"{p}.mlp.l1.weight"] = w(I, D)
+        state[f"{p}.mlp.l2.weight"] = w(I, D)
+        state[f"{p}.mlp.l3.weight"] = w(D, I)
+        if fl == "attn":
+            state[f"{p}.inner_mha_cls.Wqkv.weight"] = w(3 * D, D)
+            state[f"{p}.inner_mha_cls.out_proj.weight"] = w(D, D)
+            continue
+        state[f"{p}.projections.weight"] = w(3 * D, D)
+        state[f"{p}.filter.short_filter_weight"] = w(3 * D, 1, ev["SHORT"])
+        state[f"{p}.filter.D"] = w(D)
+        state[f"{p}.out_filter_dense.weight"] = w(D, D)
+        if fl == "se":
+            state[f"{p}.filter.h"] = w(D, ev["SE_LEN"])
+        elif fl == "mr":
+            state[f"{p}.filter.h"] = w(D, ev["MR_LEN"])
+            state[f"{p}.filter.decay"] = np.exp(
+                -np.abs(w(D, 1)) * np.arange(ev["MR_LEN"])[None]
+            ).astype(np.float32)
+        else:   # li at the REAL modal order (16 poles/residues per channel)
+            K = ev["ORDER"]
+            mag = rng.uniform(0.3, 0.95, (D, K))
+            ang = rng.uniform(-np.pi, np.pi, (D, K))
+            state[f"{p}.filter.poles"] = (
+                (mag * np.exp(1j * ang)).astype(np.complex64)[:, :, None])
+            state[f"{p}.filter.residues"] = (
+                (0.3 * (rng.standard_normal((D, K))
+                        + 1j * rng.standard_normal((D, K)))
+                 ).astype(np.complex64)[:, :, None])
+
+    os.makedirs(ASSETS, exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state.items()},
+               os.path.join(ASSETS, "evo2_1b_depth_tiny.pt"))
+
+
+def make_evo2_1b_depth_goldens():
+    # goldens must come off the SAME backend the tests run on (CPU): at 25
+    # layers the TPU/CPU fp32 drift (~3e-4) exceeds the 2e-5 test tolerance
+    from bioreason_tpu.utils import force_cpu_devices
+    force_cpu_devices(1)
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from bioreason_tpu.config import HyenaConfig
+    from bioreason_tpu.models.evo2 import hyena_forward
+    from bioreason_tpu.utils.hf_import import import_evo2
+
+    ev = evo2_1b_depth_cfgdict()
+    state = {}
+    for k, v in torch.load(os.path.join(ASSETS, "evo2_1b_depth_tiny.pt"),
+                           map_location="cpu", weights_only=True).items():
+        state[k] = v.numpy() if v.is_complex() else v.float().numpy()
+    params, flavors = import_evo2(state)
+    assert flavors == ev["FLAVORS"], flavors
+    cfg = HyenaConfig(
+        vocab_size=ev["V"], hidden_size=ev["D"], intermediate_size=ev["I"],
+        num_layers=len(ev["FLAVORS"]), num_heads=ev["HEADS"],
+        short_filter_len=ev["SHORT"], se_filter_len=ev["SE_LEN"],
+        medium_filter_len=ev["MR_LEN"], li_order=ev["ORDER"],
+        layer_flavors=ev["FLAVORS"], mlp_activation="gelu", remat=False,
+        attention_impl="xla", dtype="float32")
+    ids = np.random.default_rng(5).integers(0, ev["V"], (2, 24)).astype(np.int32)
+    params = jax.tree.map(jnp.asarray, params)
+    with jax.default_matmul_precision("highest"):
+        out = hyena_forward(params, cfg, jnp.asarray(ids))
+        tap = hyena_forward(params, cfg, jnp.asarray(ids), tap_layer=20)
+    np.save(os.path.join(ASSETS, "evo2_1b_depth_out.npy"), np.asarray(out))
+    np.save(os.path.join(ASSETS, "evo2_1b_depth_tap20.npy"), np.asarray(tap))
+
+
 def make_goldens():
     import jax
     import jax.numpy as jnp
@@ -185,4 +287,6 @@ if __name__ == "__main__":
     make_nt_fixture()
     make_evo2_fixture()
     make_goldens()
+    make_evo2_1b_depth_fixture()
+    make_evo2_1b_depth_goldens()
     print("fixtures written to", os.path.abspath(ASSETS))
