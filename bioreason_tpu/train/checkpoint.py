@@ -103,11 +103,43 @@ def load_checkpoint(path: str, like: Optional[Dict] = None) -> Dict:
     path = os.path.abspath(path)
     if _HAS_ORBAX and os.path.isdir(os.path.join(path, "params")):
         ckptr = ocp.StandardCheckpointer()
+        pdir = os.path.join(path, "params")
         if like is not None:
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like)
-            return ckptr.restore(os.path.join(path, "params"), abstract)
-        return ckptr.restore(os.path.join(path, "params"))
+            disk_keys: set = set()
+            try:
+                meta = ckptr.metadata(pdir).item_metadata.tree
+                disk_keys = set(meta.keys())
+            except Exception:
+                pass
+            if ("params" in disk_keys
+                    and not (isinstance(like, dict) and "params" in like)):
+                # a FULL-STATE checkpoint ({params, opt_state, ...} written
+                # by trainer.save — the best-k and --save_every paths) read
+                # as a bare params tree (generative eval, SFT->GRPO
+                # handoff): partial-restore only the params subtree, never
+                # touching the optimizer bytes
+                ra = jax.tree.map(
+                    lambda s: ocp.RestoreArgs(restore_type=np.ndarray,
+                                              dtype=s.dtype), abstract)
+                r = ocp.PyTreeCheckpointer().restore(
+                    pdir, item={"params": abstract}, transforms={},
+                    restore_args={"params": ra})
+                bad = [p for p, l in jax.tree_util.tree_leaves_with_path(
+                           r["params"])
+                       if isinstance(l, jax.ShapeDtypeStruct)]
+                if bad:
+                    # `like` carries leaves the file lacks (e.g. LoRA
+                    # adapters vs a full-finetune checkpoint): raise so
+                    # callers' structural fallbacks (cli/reason.py
+                    # try/except) pick the right `like`
+                    raise ValueError(
+                        f"checkpoint {pdir} missing {len(bad)} leaves of "
+                        f"the requested tree (first: {bad[0]})")
+                return r["params"]
+            return ckptr.restore(pdir, abstract)
+        return ckptr.restore(pdir)
     data = np.load(os.path.join(path, "params.npz"))      # pragma: no cover
     out: Dict = {}
     for key, arr in data.items():

@@ -73,3 +73,32 @@ class TestAsyncSaver:
         # the error is consumed: the saver is reusable afterwards
         s.save(str(tmp_path / "ok"), {"w": np.zeros(2)}, step=2)
         s.wait()
+
+
+class TestFullStateUnwrap:
+    def test_bare_params_from_full_state(self, tmp_path):
+        """trainer.save writes FULL state ({params, opt_state}); the best-k
+        and --save_every checkpoints therefore carry that wrapper. Reading
+        one with a bare params `like` (generative eval of a best-k
+        checkpoint, cli/reason.py --sft_checkpoint handoff) must unwrap the
+        params subtree instead of raising a structure mismatch."""
+        params = {"decoder": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+        full = {"params": params,
+                "opt_state": {"mu": np.ones((2, 3), np.float32)}}
+        save_checkpoint(str(tmp_path / "ck"), full, step=5, stage="sft")
+        back = load_checkpoint(str(tmp_path / "ck"), like=params)
+        assert set(back.keys()) == {"decoder"}
+        np.testing.assert_array_equal(back["decoder"]["w"],
+                                      params["decoder"]["w"])
+
+    def test_missing_leaves_raise_for_fallback(self, tmp_path):
+        """If `like` carries leaves the full-state file lacks (LoRA abstract
+        vs a full-finetune checkpoint), the unwrap path must raise so callers
+        can fall back to the right `like` (cli/reason.py try/except)."""
+        params = {"decoder": {"w": np.ones((2, 2), np.float32)}}
+        full = {"params": params, "opt_state": {"mu": np.ones(2, np.float32)}}
+        save_checkpoint(str(tmp_path / "ck"), full, step=1, stage="sft")
+        like = {"decoder": {"w": np.ones((2, 2), np.float32),
+                            "lora_a": np.ones((2, 1), np.float32)}}
+        with pytest.raises(Exception):
+            load_checkpoint(str(tmp_path / "ck"), like=like)
