@@ -52,6 +52,9 @@ def main(argv=None):
                    help="constrain every rollout to match this regex "
                         "(vllm_guided_decoding_regex, grpo_config.py:278-280; "
                         "compiled to on-device token masks)")
+    p.add_argument("--dna_kmer", type=int, default=6,
+                   help="NT-path DNA tokenizer k-mer size (must match the "
+                        "SFT stage; see cli/train_sft.py)")
     p.add_argument("--use_vllm", default=None,
                    help="accepted for reference-CLI compatibility and ignored: "
                         "rollouts always run on-TPU through the jitted engine "
@@ -92,7 +95,7 @@ def main(argv=None):
         proc = BioProcessor(tok, dna_tok)
     else:
         tok = ByteTextTokenizer()
-        proc = BioProcessor(tok, KmerTokenizer())
+        proc = BioProcessor(tok, KmerTokenizer(kmer=args.dna_kmer))
         fusion_cfg = FusionConfig(
             decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
             encoder=ENCODER_PRESETS[args.encoder](),

@@ -54,6 +54,17 @@ def main(argv=None):
     p.add_argument("--lora_r", type=int, default=32)
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--no_lora", action="store_true", help="full finetune")
+    p.add_argument("--dna_kmer", type=int, default=6,
+                   help="NT-path DNA tokenizer k-mer size (6 = NT-v2 vocab; "
+                        "1 = base-level tokens, used by the quality "
+                        "rehearsal where single-base substitutions must stay "
+                        "compositional)")
+    p.add_argument("--dna_model_finetune", action="store_true",
+                   help="train the DNA encoder too (reference declares this "
+                        "flag but torch.no_grad at dna_llm.py:121 makes it "
+                        "dead — here it really unfreezes the tower; used by "
+                        "the from-scratch quality rehearsal where no "
+                        "pretrained encoder exists)")
     p.add_argument("--bucket", type=int, default=128)
     p.add_argument("--eval_every", type=int, default=0, help="val loss every N steps")
     p.add_argument("--sample_every", type=int, default=0,
@@ -120,6 +131,8 @@ def main(argv=None):
         tok = ByteTextTokenizer()
         encoder_kind, enc_cfg, hyena_cfg, dna_tok = build_encoder_config(
             args.encoder, args.dna_embedding_layer)
+        if args.dna_kmer != 6 and encoder_kind == "nt":
+            dna_tok = KmerTokenizer(kmer=args.dna_kmer)
         fusion_cfg = FusionConfig(
             decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
             encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
@@ -157,6 +170,7 @@ def main(argv=None):
         max_length_dna=args.max_length_dna, bucket=args.bucket,
         optim=OptimConfig(learning_rate=args.learning_rate, total_steps=total_steps),
         lora=None if args.no_lora else LoRAConfig(r=args.lora_r, alpha=args.lora_alpha),
+        freeze_encoder=not args.dna_model_finetune,
         seed=args.seed)
 
     mesh = build_mesh(args.mesh)

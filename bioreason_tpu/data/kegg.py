@@ -126,8 +126,18 @@ _PATHWAYS = [
 ]
 
 
-def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0) -> List[Dict[str, Any]]:
-    """Deterministic KEGG-shaped items for tests and benchmarks."""
+def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0,
+                         learnable: bool = False) -> List[Dict[str, Any]]:
+    """Deterministic KEGG-shaped items for tests and benchmarks.
+
+    `learnable=True` makes the answer a FUNCTION of the DNA content —
+    pathway index = 2 * base(alt) + (pos in second half) — so a model can
+    generalize to held-out items by actually comparing the two sequences
+    (find the mismatch, read its base and rough position). The default
+    (random answers) is right for throughput benches and memorization
+    tests; learnable corpora are what the end-to-end quality rehearsal
+    trains and evaluates on (tools/rehearsal.py), standing in for the real
+    wanglab/kegg data this environment doesn't have."""
     rng = random.Random(seed)
     items = []
     for i in range(n):
@@ -135,14 +145,24 @@ def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0) -> List
         pos = rng.randrange(seq_len)
         alt_base = rng.choice([b for b in "ACGT" if b != ref[pos]])
         var = ref[:pos] + alt_base + ref[pos + 1:]
-        answer = rng.choice(_PATHWAYS)
+        if learnable:
+            half = "second" if pos >= seq_len // 2 else "first"
+            answer = _PATHWAYS["ACGT".index(alt_base) * 2
+                               + (pos >= seq_len // 2)]
+            reasoning = (f"The variant changes {ref[pos]} to {alt_base} in "
+                         f"the {half} half of the sequence.\n"
+                         f"This affects a regulatory region linked to the {answer}.\n"
+                         f"Therefore the most likely disrupted pathway is the {answer}.")
+        else:
+            answer = rng.choice(_PATHWAYS)
+            reasoning = (f"The variant at position {pos} changes {ref[pos]} to {alt_base}.\n"
+                         f"This affects a regulatory region linked to the {answer}.\n"
+                         f"Therefore the most likely disrupted pathway is the {answer}.")
         items.append({
             "question": ("Given the reference and variant DNA sequences, which KEGG "
                          "pathway is most likely disrupted by this variant?"),
             "answer": answer,
-            "reasoning": (f"The variant at position {pos} changes {ref[pos]} to {alt_base}.\n"
-                          f"This affects a regulatory region linked to the {answer}.\n"
-                          f"Therefore the most likely disrupted pathway is the {answer}."),
+            "reasoning": reasoning,
             "reference_sequence": ref,
             "variant_sequence": var,
         })
