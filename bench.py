@@ -110,6 +110,10 @@ def main(argv=None):
     ap.add_argument("--decoder", default="qwen3-0.6b",
                     choices=["qwen3-0.6b", "qwen3-1.7b", "qwen3-4b"])
     ap.add_argument("--frozen", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--fuse", action="store_true",
+                    help="fused qkv/gateup base kernels (train/fuse.py); "
+                         "legal here because base kernels are FROZEN under "
+                         "LoRA — adapters stay per-projection")
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
@@ -164,6 +168,9 @@ def main(argv=None):
     else:
         params = init_fusion(rng, cfg)
         params = attach_lora(jax.random.fold_in(rng, 1), params, LoRAConfig(r=32, alpha=64))
+    if args.fuse:
+        from bioreason_tpu.train.fuse import fuse_projections
+        params = fuse_projections(params)
     partition = T.make_partition(params, T.LORA_TRAINABLE)
     train_leaves, frozen_leaves = T.split(partition, params)
     # frozen base float leaves in bf16 (no fp32 master needed; halves base HBM)

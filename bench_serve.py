@@ -35,6 +35,14 @@ def main(argv=None):
                     help="pool KV storage; int8 halves pool HBM (the "
                          "memory lever that doubles capacity at fixed "
                          "max_len)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fused qkv/gateup projection kernels "
+                         "(train/fuse.py): one wide dot per projection "
+                         "group — the MXU small-N underfill fix")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="int8 activations too (cfg.act_int8): every dense "
+                         "runs on the int8 MXU (2x bf16 peak) — the vLLM "
+                         "W8A8 serving scheme; cuts prefill compute time")
     ap.add_argument("--shared", type=int, default=1,
                     help="requests per unique prompt (>1 exercises the "
                          "same-batch prompt dedupe + prefix cache: GRPO-"
@@ -64,14 +72,20 @@ def main(argv=None):
     P_TEXT, L_DNA = 256, 128
     cfg = FusionConfig(
         decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
-                                    remat=False),
-        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
+                                    remat=False, act_int8=args.w8a8),
+        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False,
+                                    act_int8=args.w8a8),
         dna_pad_token_id=151938,
     )
+    if args.w8a8 and args.frozen != "int8":
+        ap.error("--w8a8 requires --frozen int8 (act_int8 needs int8 kernels)")
     params = init_fusion(jax.random.PRNGKey(0), cfg)
     if args.frozen == "int8":
         from bioreason_tpu.train.quant import quantize_frozen_int8
         params = quantize_frozen_int8(params, include_embed=True)
+    if args.fuse:
+        from bioreason_tpu.train.fuse import fuse_projections
+        params = fuse_projections(params)
 
     npr = np.random.default_rng(0)
     prompts = {}

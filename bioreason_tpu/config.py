@@ -38,6 +38,11 @@ class DecoderConfig:
                                      # recompute elementwise: ~remat-off speed
                                      # at a fraction of the activation memory)
     dtype: str = "bfloat16"          # compute dtype; params kept fp32
+    # W8A8 serving mode: int8-quantized kernels run with per-token int8
+    # activations on the int8 MXU (2x bf16 peak) — layers._w8a8_dot. Opt-in
+    # accuracy trade for SERVING ONLY (requires quantize_frozen_int8
+    # weights; float kernels ignore it).
+    act_int8: bool = False
     # Mixture-of-Experts FFN (Qwen3-MoE family, e.g. 30B-A3B). num_experts=0
     # keeps the dense SwiGLU. When >0, EVERY layer is sparse (the HF family's
     # decoder_sparse_step=1, mlp_only_layers=[] default). GShard-style
@@ -109,6 +114,7 @@ class EncoderConfig:
     remat: bool = True
     remat_policy: str = "full"       # 'full' | 'dots' (see DecoderConfig)
     dtype: str = "bfloat16"
+    act_int8: bool = False           # W8A8 serving mode (see DecoderConfig)
 
     @property
     def head_dim(self) -> int:

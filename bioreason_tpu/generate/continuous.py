@@ -320,7 +320,11 @@ class ContinuousBatcher:
         All state writes go back into the FULL donated buffers in place —
         pool shapes never change (unlike capacity-mutating compaction).
         Returned toks are [k, cb]."""
-        cfg = self.cfg.decoder
+        import dataclasses as _dc
+        # decode stays on the weight-only-int8 path even when cfg.act_int8
+        # is set (see the dense calls below): neutralize the flag so _mlp's
+        # swiglu doesn't quantize activations either.
+        cfg = _dc.replace(self.cfg.decoder, act_int8=False)
         s = self.sampling
         dtype = jnp.dtype(cfg.dtype)
         guided = g_next is not None
@@ -359,11 +363,18 @@ class ContinuousBatcher:
             new_win = []
             for i in range(cfg.num_layers):
                 lp = jax.tree.map(lambda x: x[i], params["decoder"]["layers"])
+                # decode denses stay on the weight-only-int8 path even when
+                # cfg.act_int8 is set: decode is weights-READ-bound (the int8
+                # bytes already stream into the dot), and the per-token
+                # quantize ops measured a net LOSS here (shared-mode bench
+                # 10.7k -> 9.8k tok/s with act8 decode). act_int8 pays only
+                # in prefill, where the dots are MXU-bound.
                 x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
-                q = L.dense(lp["attn"]["q"], x, dtype).reshape(
-                    c, 1, cfg.num_heads, cfg.head_dim)
-                kk = L.dense(lp["attn"]["k"], x, dtype).reshape(c, 1, hkv, d)
-                vv = L.dense(lp["attn"]["v"], x, dtype).reshape(c, 1, hkv, d)
+                q, kk, vv = L.qkv_proj(lp["attn"], x, dtype,
+                                       cfg.num_heads * cfg.head_dim, hkv * d)
+                q = q.reshape(c, 1, cfg.num_heads, cfg.head_dim)
+                kk = kk.reshape(c, 1, hkv, d)
+                vv = vv.reshape(c, 1, hkv, d)
                 q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
                 kk = L.rmsnorm(lp["attn"]["k_norm"], kk, cfg.rms_norm_eps)
                 q = L.apply_rope(q, pos, cfg.rope_theta)

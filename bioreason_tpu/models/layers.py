@@ -28,7 +28,23 @@ def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None,
     return p
 
 
-def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None):
+def _w8a8_dot(x, kern, dtype):
+    """W8A8 matmul on the int8 MXU path (v5e: 394 int8 TOPS vs 197 bf16
+    TFLOP/s): dynamic symmetric per-token activation quantization against
+    the kernel's static per-output-channel scales —
+    y = (x_q @ w_q) * (sx * sw), the standard vLLM int8 serving scheme.
+    Exact rescale (scales factor out of the dot); quantization error is the
+    opt-in serving accuracy trade (DecoderConfig.act_int8)."""
+    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.rint(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    yi = jax.lax.dot_general(xq, kern["q"],
+                             (((xq.ndim - 1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    return yi.astype(dtype) * sx.astype(dtype) * kern["scale"][..., 0, :].astype(dtype)
+
+
+def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None, act8=False):
     """Linear layer; adds a bias when the param dict carries a `bias` leaf and
     transparently applies a LoRA adapter when it carries `lora_a`/`lora_b`
     leaves (see train/lora.py): y = x@W [+ b] + (x@A)@B * scale.
@@ -40,26 +56,67 @@ def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None):
     Frozen kernels may be stored int8 (see train/quant.py): a dict
     {"q": int8 [..,in,out], "scale": f32 [..,1,out]} is dequantized to the
     compute dtype here — inside the layer scan, so peak HBM holds one
-    layer's bf16 copy while the resident weights stay at half bf16 size."""
+    layer's bf16 copy while the resident weights stay at half bf16 size.
+    `act8=True` (serving opt-in, cfg.act_int8) instead quantizes the
+    activations per token and runs the dot on the int8 MXU (_w8a8_dot)."""
     x = x.astype(dtype)
     kern = params["kernel"]
     if isinstance(kern, dict):
-        w = kern["q"].astype(dtype) * kern["scale"].astype(dtype)
+        if act8:
+            y = _w8a8_dot(x, kern, dtype)
+        else:
+            w = kern["q"].astype(dtype) * kern["scale"].astype(dtype)
+            y = x @ w
     else:
         w = kern.astype(dtype)
-    y = x @ w
+        y = x @ w
     if "bias" in params:
         y = y + params["bias"].astype(dtype)
-    if "lora_a" in params:
-        a = params["lora_a"].astype(dtype)
-        b = params["lora_b"].astype(dtype)
-        xl = x
-        if lora_dropout is not None:
-            key, rate = lora_dropout
-            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-            xl = jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
-        y = y + ((xl @ a) @ b) * params["lora_scale"].astype(dtype)
-    return y
+    d = lora_delta(params, x, dtype, lora_dropout)
+    return y if d is None else y + d
+
+
+def lora_delta(params, x, dtype=jnp.bfloat16, lora_dropout=None):
+    """The LoRA adapter contribution (x@A)@B * scale, or None when `params`
+    carries no adapter. Split out of `dense` so fused-projection layouts
+    (fuse_projections: base kernels concatenated into one qkv/gateup leaf,
+    adapters left per-projection) can apply adapters to the split outputs."""
+    if not params or "lora_a" not in params:
+        return None
+    a = params["lora_a"].astype(dtype)
+    b = params["lora_b"].astype(dtype)
+    xl = x.astype(dtype)
+    if lora_dropout is not None:
+        key, rate = lora_dropout
+        keep = jax.random.bernoulli(key, 1.0 - rate, xl.shape)
+        xl = jnp.where(keep, xl / (1.0 - rate), jnp.zeros_like(xl))
+    return ((xl @ a) @ b) * params["lora_scale"].astype(dtype)
+
+
+def qkv_proj(attn, x, dtype, q_dim: int, kv_dim: int,
+             drops=(None, None, None), act8=False):
+    """Attention input projections -> (q, k, v) [..., q_dim/kv_dim/kv_dim].
+
+    Takes the FUSED path when the param dict carries a `qkv` leaf
+    (fuse_projections): one [in, q_dim+2*kv_dim] dot instead of three
+    small-N dots — small-N matmuls underfill the MXU pipeline (measured on
+    v5e: a [16k,1024]x[1024,1024] dot runs ~4x slower per FLOP than
+    [16k,1024]x[1024,3072]), so widening N is pure win for prefill/training.
+    Per-projection LoRA adapters stay unfused and are added to the splits."""
+    if "qkv" in attn:
+        y = dense(attn["qkv"], x, dtype, None, act8)
+        q = y[..., :q_dim]
+        k = y[..., q_dim:q_dim + kv_dim]
+        v = y[..., q_dim + kv_dim:q_dim + 2 * kv_dim]
+        outs = []
+        for name, base, dr in (("q", q, drops[0]), ("k", k, drops[1]),
+                               ("v", v, drops[2])):
+            d = lora_delta(attn.get(name), x, dtype, dr)
+            outs.append(base if d is None else base + d)
+        return tuple(outs)
+    return (dense(attn["q"], x, dtype, drops[0], act8),
+            dense(attn["k"], x, dtype, drops[1], act8),
+            dense(attn["v"], x, dtype, drops[2], act8))
 
 
 def embed_init(rng, vocab: int, dim: int, std: float = 0.02):
@@ -134,15 +191,25 @@ def swiglu_init(rng, dim: int, hidden: int, bias: bool = False):
             "down": dense_init(k3, hidden, dim, bias=bias)}
 
 
-def swiglu(params, x, dtype=jnp.bfloat16, lora_dropout=None):
+def swiglu(params, x, dtype=jnp.bfloat16, lora_dropout=None, act8=False):
     def drop(i):
         if lora_dropout is None:
             return None
         key, rate = lora_dropout
         return (jax.random.fold_in(key, i), rate)
-    g = dense(params["gate"], x, dtype, drop(0))
-    u = dense(params["up"], x, dtype, drop(1))
-    return dense(params["down"], jax.nn.silu(g) * u, dtype, drop(2))
+    if "gateup" in params:
+        # fused gate+up (fuse_projections): one 2*hidden-wide dot; LoRA
+        # adapters stay per-projection on the splits (see qkv_proj)
+        y = dense(params["gateup"], x, dtype, None, act8)
+        g, u = jnp.split(y, 2, axis=-1)
+        dg = lora_delta(params.get("gate"), x, dtype, drop(0))
+        du = lora_delta(params.get("up"), x, dtype, drop(1))
+        g = g if dg is None else g + dg
+        u = u if du is None else u + du
+    else:
+        g = dense(params["gate"], x, dtype, drop(0), act8)
+        u = dense(params["up"], x, dtype, drop(1), act8)
+    return dense(params["down"], jax.nn.silu(g) * u, dtype, drop(2), act8)
 
 
 def moe_init(rng, dim: int, num_experts: int, hidden: int):
@@ -218,10 +285,11 @@ def gelu_mlp_init(rng, dim: int, hidden: int, bias: bool = False):
             "down": dense_init(k2, hidden, dim, bias=bias)}
 
 
-def gelu_mlp(params, x, dtype=jnp.bfloat16):
+def gelu_mlp(params, x, dtype=jnp.bfloat16, lora_dropout=None, act8=False):
     # exact (erf) gelu: HF ESM uses F.gelu default, not the tanh approximation
-    up = dense(params["up"], x, dtype)
-    return dense(params["down"], jax.nn.gelu(up, approximate=False), dtype)
+    up = dense(params["up"], x, dtype, lora_dropout, act8)
+    return dense(params["down"], jax.nn.gelu(up, approximate=False), dtype,
+                 lora_dropout, act8)
 
 
 # ---------------------------------------------------------------------------

@@ -70,18 +70,23 @@ def encoder_forward(params: Dict, cfg: EncoderConfig, input_ids: jnp.ndarray,
     h = h * attention_mask[..., None].astype(dtype)
     positions = L.positions_from_mask(attention_mask)
 
+    a8 = cfg.act_int8
+
     def body(h, lp):
         x = L.layernorm(lp["ln1"], h, cfg.norm_eps)
-        q = L.dense(lp["attn"]["q"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = L.dense(lp["attn"]["k"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        v = L.dense(lp["attn"]["v"], x, dtype).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        q, k, v = L.qkv_proj(lp["attn"], x, dtype,
+                             cfg.num_heads * cfg.head_dim,
+                             cfg.num_heads * cfg.head_dim, act8=a8)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_heads, cfg.head_dim)
         q = L.apply_rope(q, positions, cfg.rope_theta)
         k = L.apply_rope(k, positions, cfg.rope_theta)
         a = attention(q, k, v, kv_mask=attention_mask, causal=False, impl=cfg.attention_impl)
-        h = h + L.dense(lp["attn"]["o"], a.reshape(b, t, -1), dtype)
+        h = h + L.dense(lp["attn"]["o"], a.reshape(b, t, -1), dtype, None, a8)
         x = L.layernorm(lp["ln2"], h, cfg.norm_eps)
         mlp = L.swiglu if cfg.use_swiglu else L.gelu_mlp
-        h = h + mlp(lp["mlp"], x, dtype)
+        h = h + mlp(lp["mlp"], x, dtype, None, a8)
         return h, None
 
     body_fn = L.remat(body, cfg)

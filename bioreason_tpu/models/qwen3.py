@@ -132,7 +132,7 @@ def _mlp(lp, cfg: DecoderConfig, x, dtype, lora_dropout=None):
     if cfg.num_experts:
         return L.moe_apply(lp["mlp"], x, cfg.num_experts_per_tok,
                            cfg.norm_topk_prob, dtype, cfg.moe_capacity_factor)
-    return L.swiglu(lp["mlp"], x, dtype, lora_dropout)
+    return L.swiglu(lp["mlp"], x, dtype, lora_dropout, cfg.act_int8)
 
 
 def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
@@ -147,10 +147,15 @@ def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
         key, rate = lora_dropout
         return (jax.random.fold_in(key, i), rate)
 
+    a8 = cfg.act_int8
     x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
-    q = L.dense(lp["attn"]["q"], x, dtype, drop(0)).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = L.dense(lp["attn"]["k"], x, dtype, drop(1)).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = L.dense(lp["attn"]["v"], x, dtype, drop(2)).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q, k, v = L.qkv_proj(lp["attn"], x, dtype,
+                         cfg.num_heads * cfg.head_dim,
+                         cfg.num_kv_heads * cfg.head_dim,
+                         drops=(drop(0), drop(1), drop(2)), act8=a8)
+    q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
 
     q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
     k = L.rmsnorm(lp["attn"]["k_norm"], k, cfg.rms_norm_eps)
@@ -177,7 +182,7 @@ def _layer_forward(lp, h, cfg: DecoderConfig, positions, kv_mask, causal,
     attn_out = attention(q, k_all, v_all, kv_mask=kv_mask, causal=causal,
                          q_offset=cache_index if cache_entry is not None else None,
                          impl=cfg.attention_impl, k_scale=ks, v_scale=vs)
-    h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype, drop(3))
+    h = h + L.dense(lp["attn"]["o"], attn_out.reshape(b, t, -1), dtype, drop(3), a8)
 
     x = L.rmsnorm(lp["ln2"], h, cfg.rms_norm_eps)
     h = h + _mlp(lp, cfg, x, dtype,
@@ -362,9 +367,12 @@ def decoder_decode_step_grouped(params: Dict, cfg: DecoderConfig,
     for i in range(cfg.num_layers):
         lp = jax.tree.map(lambda x: x[i], params["layers"])
         x = L.rmsnorm(lp["ln1"], h, cfg.rms_norm_eps)
-        q = L.dense(lp["attn"]["q"], x, dtype).reshape(bg, t, cfg.num_heads, cfg.head_dim)
-        k = L.dense(lp["attn"]["k"], x, dtype).reshape(bg, t, cfg.num_kv_heads, cfg.head_dim)
-        v = L.dense(lp["attn"]["v"], x, dtype).reshape(bg, t, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = L.qkv_proj(lp["attn"], x, dtype,
+                             cfg.num_heads * cfg.head_dim,
+                             cfg.num_kv_heads * cfg.head_dim)
+        q = q.reshape(bg, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(bg, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(bg, t, cfg.num_kv_heads, cfg.head_dim)
         q = L.rmsnorm(lp["attn"]["q_norm"], q, cfg.rms_norm_eps)
         k = L.rmsnorm(lp["attn"]["k_norm"], k, cfg.rms_norm_eps)
         q = L.apply_rope(q, positions, cfg.rope_theta)

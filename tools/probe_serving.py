@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--window", type=int, default=32)
     ap.add_argument("--max_new", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--w8a8", action="store_true",
+                    help="act_int8 serving mode (bench_serve --w8a8)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fused qkv/gateup kernels (bench_serve --fuse)")
     args = ap.parse_args()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
@@ -53,11 +57,15 @@ def main():
     P, L_DNA = 256, 128
     cfg = FusionConfig(
         decoder=dataclasses.replace(DecoderConfig.qwen3_0_6b(vocab_size=151936),
-                                    remat=False),
-        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
+                                    remat=False, act_int8=args.w8a8),
+        encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False,
+                                    act_int8=args.w8a8),
         dna_pad_token_id=151938)
     params = quantize_frozen_int8(init_fusion(jax.random.PRNGKey(0), cfg),
                                   include_embed=True)
+    if args.fuse:
+        from bioreason_tpu.train.fuse import fuse_projections
+        params = fuse_projections(params)
     cb = ContinuousBatcher(params, cfg, eos_token_id=-1,
                            capacity=args.capacity, max_len=P,
                            max_new=args.max_new, prompt_bucket=P,
