@@ -33,6 +33,9 @@ def main(argv=None):
                          "rollouts — required to fit qwen3-4b on one v5e")
     ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--G", type=int, default=4)
+    ap.add_argument("--probe", action="store_true",
+                    help="print per-phase timers (prep/rollout/logps_dispatch"
+                         "/rewards/update) for step-time attribution")
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
@@ -74,11 +77,22 @@ def main(argv=None):
 
     trainer.step(items)     # compile everything
     n = 5
+    if args.probe:
+        trainer.timers = {}
     t0 = time.perf_counter()
     for _ in range(n):
         trainer.step(items)
     dt = time.perf_counter() - t0
     completions_per_sec = PROMPTS * G * n / dt
+    if args.probe:
+        import sys
+        tm = trainer.timers
+        print("phase probe: "
+              + " ".join(f"{k}={tm[k]:.2f}s" for k in
+                         ("prep", "rollout", "logps_dispatch", "rewards",
+                          "update") if k in tm)
+              + f" steps={tm.get('steps', 0)} total={dt:.2f}s",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "grpo_full_step_completions_per_sec_per_chip",
         "value": round(completions_per_sec, 2),

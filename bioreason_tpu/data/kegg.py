@@ -127,7 +127,8 @@ _PATHWAYS = [
 
 
 def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0,
-                         learnable: bool = False) -> List[Dict[str, Any]]:
+                         learnable: bool = False,
+                         fixed_positions: bool = False) -> List[Dict[str, Any]]:
     """Deterministic KEGG-shaped items for tests and benchmarks.
 
     `learnable=True` makes the answer a FUNCTION of the DNA content —
@@ -137,14 +138,30 @@ def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0,
     (random answers) is right for throughput benches and memorization
     tests; learnable corpora are what the end-to-end quality rehearsal
     trains and evaluates on (tools/rehearsal.py), standing in for the real
-    wanglab/kegg data this environment doesn't have."""
+    wanglab/kegg data this environment doesn't have.
+
+    `fixed_positions=True` restricts the mismatch to one of TWO fixed loci
+    (seq_len//4 and 3*seq_len//4, one per half) and substitutes an 8-base
+    RUN of the alt base (a deletion-scale lesion) instead of a single base.
+    The decoder then only has to compare the spliced encoder embeddings at
+    two known offsets, and the encoder-side signal is spatially redundant —
+    the measured difference between a task small from-scratch towers learn
+    in a few hundred steps and one they don't (rehearsal probes: free-
+    position single-base corpora plateau at 99% teacher-forced accuracy on
+    template chars with ZERO signal on the DNA-dependent chars; fixed-
+    position single-base reached only chance-level generative accuracy)."""
     rng = random.Random(seed)
+    loci = (seq_len // 4, (3 * seq_len) // 4)
+    run = 8
     items = []
     for i in range(n):
         ref = "".join(rng.choice("ACGT") for _ in range(seq_len))
-        pos = rng.randrange(seq_len)
+        pos = rng.choice(loci) if fixed_positions else rng.randrange(seq_len)
         alt_base = rng.choice([b for b in "ACGT" if b != ref[pos]])
-        var = ref[:pos] + alt_base + ref[pos + 1:]
+        if fixed_positions:
+            var = ref[:pos] + alt_base * run + ref[pos + run:]
+        else:
+            var = ref[:pos] + alt_base + ref[pos + 1:]
         if learnable:
             half = "second" if pos >= seq_len // 2 else "first"
             answer = _PATHWAYS["ACGT".index(alt_base) * 2

@@ -36,14 +36,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def write_corpus(dir_path: str, n: int, seq_len: int, seed: int):
+def write_corpus(dir_path: str, n: int, seq_len: int, seed: int,
+                 fixed_positions: bool = True):
     """Curated-corpus JSON dir in the KEGGDataset per-variant format
     (kegg.py:25-49: question/answer/reasoning.reasoning_steps/sequences)."""
     from bioreason_tpu.data.kegg import synthetic_kegg_items
     if os.path.isdir(dir_path):
         shutil.rmtree(dir_path)
     os.makedirs(dir_path)
-    items = synthetic_kegg_items(n, seq_len=seq_len, seed=seed, learnable=True)
+    items = synthetic_kegg_items(n, seq_len=seq_len, seed=seed, learnable=True,
+                                 fixed_positions=fixed_positions)
     for i, it in enumerate(items):
         rec = {
             "question": it["question"],
@@ -82,6 +84,10 @@ def main(argv=None):
     ap.add_argument("--cpu_devices", type=int, default=0)
     ap.add_argument("--items", type=int, default=0, help="0 = scale default")
     ap.add_argument("--seq_len", type=int, default=96)
+    ap.add_argument("--free_positions", action="store_true",
+                    help="mismatch anywhere in the sequence (the harder "
+                         "scan-96-positions task) instead of the default "
+                         "two fixed loci (see synthetic_kegg_items)")
     ap.add_argument("--dna_kmer", type=int, default=1,
                     help="base-level DNA tokens by default: the learnable "
                          "task is a single-base substitution, which 6-mer "
@@ -108,7 +114,12 @@ def main(argv=None):
     lr = 3e-3 if tiny else 3e-4
     max_len_dna = args.seq_len + 8       # base-level tokens + CLS + slack
     max_len_text = 512
-    max_new = 64 if tiny else 288
+    # byte-level tokens: the full assistant span (<think> reasoning +
+    # "Answer: <pathway>") is ~230-280 chars — a smaller budget truncates
+    # generation BEFORE the answer, zeroing both eval accuracy and every
+    # GRPO correctness reward (measured: the r4 tiny runs' 0.0-everywhere
+    # artifacts were exactly this)
+    max_new = 288
     eval_every = 4 if tiny else 32
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -125,7 +136,8 @@ def main(argv=None):
         "artifacts", f"rehearsal_{args.scale}.json")
 
     print(f"[rehearsal] curating {n_items} learnable items -> {corpus_dir}")
-    write_corpus(corpus_dir, n_items, args.seq_len, args.seed)
+    write_corpus(corpus_dir, n_items, args.seq_len, args.seed,
+                 fixed_positions=not args.free_positions)
 
     import time
     t_start = time.time()
@@ -237,7 +249,9 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "corpus": {"items": n_items, "seq_len": args.seq_len,
                    "dna_kmer": args.dna_kmer,
-                   "learnable": True, "seed": args.seed,
+                   "learnable": True,
+                   "fixed_positions": not args.free_positions,
+                   "seed": args.seed,
                    "split": [len(train_items), len(val_items),
                              len(test_items)]},
         "sft": {"epochs": sft_epochs, "batch_size": batch,
