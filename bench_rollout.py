@@ -23,6 +23,8 @@ def main(argv=None):
     ap.add_argument("--kv", default="bfloat16", choices=["bfloat16", "int8"],
                     help="KV-cache storage (int8: memory lever — 2x slots; "
                          "~5% slower at weights-dominated shapes)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fused qkv/gateup projection kernels (train/fuse.py)")
     args = ap.parse_args(argv)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import dataclasses
@@ -50,6 +52,9 @@ def main(argv=None):
         # every weight byte the decode loop streams is int8
         from bioreason_tpu.train.quant import quantize_frozen_int8
         params = quantize_frozen_int8(params, include_embed=True)
+    if args.fuse:
+        from bioreason_tpu.train.fuse import fuse_projections
+        params = fuse_projections(params)
     engine = GenerationEngine(cfg, eos_token_id=-1,    # no eos: decode all NEW
                               kv_int8=(args.kv == "int8"))
 

@@ -336,6 +336,13 @@ def main(argv=None):
                    help="constrain every completion to match this regex "
                         "(vLLM guided-decoding equivalent; per-request "
                         "'guided_regex' also accepted in micro-batch mode)")
+    p.add_argument("--fuse", action="store_true",
+                   help="fused qkv/gateup projection kernels (train/fuse.py: "
+                        "one wide MXU dot per projection group)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="int8 activations on top of --int8 weights "
+                        "(cfg.act_int8): prefill dots on the int8 MXU; "
+                        "decode stays weight-only int8")
     p.add_argument("--slot_len", type=int, default=2048,
                    help="per-slot KV length (continuous mode)")
     p.add_argument("--decode_window", type=int, default=1,
@@ -354,7 +361,17 @@ def main(argv=None):
 
     tok = ByteTextTokenizer()
     kind, enc, hyena, dna_tok = build_encoder_config(args.encoder)
-    cfg = FusionConfig(decoder=DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size),
+    if args.w8a8:
+        if not args.int8:
+            p.error("--w8a8 requires --int8 (act_int8 needs int8 kernels)")
+        import dataclasses
+        if enc is not None:
+            enc = dataclasses.replace(enc, act_int8=True)
+    dec_cfg = DECODER_PRESETS[args.decoder](vocab_size=tok.vocab_size)
+    if args.w8a8:
+        import dataclasses
+        dec_cfg = dataclasses.replace(dec_cfg, act_int8=True)
+    cfg = FusionConfig(decoder=dec_cfg,
                        encoder=enc, hyena=hyena, encoder_kind=kind,
                        dna_pad_token_id=tok.dna_pad_id,
                        max_length_dna=args.max_length_dna)
@@ -367,6 +384,9 @@ def main(argv=None):
     if args.int8:
         from bioreason_tpu.train.quant import quantize_frozen_int8
         params = quantize_frozen_int8(params, include_embed=True)
+    if args.fuse:
+        from bioreason_tpu.train.fuse import fuse_projections
+        params = fuse_projections(params)
 
     server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
                              max_new_tokens=args.max_new_tokens,

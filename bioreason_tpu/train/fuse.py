@@ -74,6 +74,70 @@ def _fuse_group(parent: Dict, names: Sequence[str], fused_name: str) -> bool:
     return True
 
 
+def _split_kernel(node, sizes):
+    """Split a fused kernel leaf back along the output axis; supports int8
+    storage dicts."""
+    offs = []
+    o = 0
+    for s in sizes[:-1]:
+        o += s
+        offs.append(o)
+    if isinstance(node, dict):
+        qs = jnp.split(node["q"], offs, axis=-1)
+        ss = jnp.split(node["scale"], offs, axis=-1)
+        return [{"q": q, "scale": s} for q, s in zip(qs, ss)]
+    return jnp.split(node, offs, axis=-1)
+
+
+def _unfuse_group(parent: Dict, names: Sequence[str], fused_name: str,
+                  sizes: Sequence[int]) -> bool:
+    if fused_name not in parent:
+        return False
+    fused = parent.pop(fused_name)
+    kerns = _split_kernel(fused["kernel"], sizes)
+    biases = (jnp.split(fused["bias"],
+                        [sum(sizes[:i + 1]) for i in range(len(sizes) - 1)],
+                        axis=-1) if "bias" in fused else [None] * len(names))
+    for n, k, b in zip(names, kerns, biases):
+        sub = dict(parent.get(n) or {})
+        sub["kernel"] = k
+        if b is not None:
+            sub["bias"] = b
+        parent[n] = sub
+    return True
+
+
+def unfuse_projections(params: Dict,
+                       subtrees: Sequence[str] = ("decoder", "encoder")) -> Dict:
+    """Inverse of `fuse_projections`: split qkv -> q/k/v and gateup ->
+    gate/up so a fused tree can be exported in the canonical (per-projection)
+    checkpoint layout. Output widths are recovered from the `o` projection
+    (q out = o in; k/v out = qkv_out - q_out split evenly) and the `down`
+    kernel (gate/up are each half of gateup). No-op for unfused trees."""
+    out = _copy(params)
+    for name in subtrees:
+        tower = out.get(name)
+        if not isinstance(tower, dict):
+            continue
+        layers = tower.get("layers")
+        if not isinstance(layers, dict):
+            continue
+        attn = layers.get("attn")
+        if isinstance(attn, dict) and "qkv" in attn:
+            ok = attn["o"]["kernel"]
+            q_out = (ok["q"] if isinstance(ok, dict) else ok).shape[-2]
+            fk = attn["qkv"]["kernel"]
+            total = (fk["q"] if isinstance(fk, dict) else fk).shape[-1]
+            kv = (total - q_out) // 2
+            _unfuse_group(attn, ("q", "k", "v"), "qkv", (q_out, kv, kv))
+        mlp = layers.get("mlp")
+        if isinstance(mlp, dict) and "gateup" in mlp:
+            dk = mlp["down"]["kernel"]
+            hid = (dk["q"] if isinstance(dk, dict) else dk).shape[-2]
+            _unfuse_group(mlp, ("gate", "up"), "gateup", (hid, hid))
+    return out
+
+
 def fuse_projections(params: Dict, subtrees: Sequence[str] = ("decoder", "encoder")) -> Dict:
     """Return a new param tree with q/k/v -> qkv and gate/up -> gateup fused
     under each named subtree's stacked `layers` dict. Trees without that

@@ -142,3 +142,24 @@ def test_fusion_model_fused_end_to_end():
                             jnp.asarray(dna), jnp.asarray(dm))
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_unfuse_round_trip_float_and_int8():
+    """unfuse(fuse(p)) restores the canonical per-projection layout exactly
+    (checkpoint-export path for fused trees)."""
+    from bioreason_tpu.train.fuse import unfuse_projections
+    cfg = _dec_cfg()
+    params = {"decoder": init_decoder(jax.random.PRNGKey(3), cfg)}
+    lora = attach_lora(jax.random.PRNGKey(4), params, LoRAConfig(r=2, alpha=4))
+    for tree in (params, lora, quantize_frozen_int8(params)):
+        rt = unfuse_projections(fuse_projections(tree))
+        flat_a = jax.tree_util.tree_leaves_with_path(tree)
+        flat_b = jax.tree_util.tree_leaves_with_path(rt)
+        assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+        for (pa, a), (_, b) in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+    # unfusing an unfused tree is a no-op copy
+    rt = unfuse_projections(params)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(params),
+                               jax.tree_util.tree_leaves_with_path(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
