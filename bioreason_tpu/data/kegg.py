@@ -145,11 +145,16 @@ def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0,
     RUN of the alt base (a deletion-scale lesion) instead of a single base.
     The decoder then only has to compare the spliced encoder embeddings at
     two known offsets, and the encoder-side signal is spatially redundant —
-    the measured difference between a task small from-scratch towers learn
-    in a few hundred steps and one they don't (rehearsal probes: free-
-    position single-base corpora plateau at 99% teacher-forced accuracy on
-    template chars with ZERO signal on the DNA-dependent chars; fixed-
-    position single-base reached only chance-level generative accuracy)."""
+    an easier landing ramp for from-scratch towers than scanning seq_len
+    positions for a single-base mismatch.
+
+    Reasoning-template note: every assistant token must be a FUNCTION of
+    information the model can extract, or autoregressive generation derails
+    where teacher-forced loss cannot see it — the template therefore names
+    only the alt base and the half (both inferable from the variant alone
+    when fixed_positions=True), never the reference base at the locus
+    (exact-position indexing, measured unlearnable at tiny scale: the r4
+    probes derailed at that char and collapsed to a fixed mode)."""
     rng = random.Random(seed)
     loci = (seq_len // 4, (3 * seq_len) // 4)
     run = 8
@@ -166,8 +171,10 @@ def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0,
             half = "second" if pos >= seq_len // 2 else "first"
             answer = _PATHWAYS["ACGT".index(alt_base) * 2
                                + (pos >= seq_len // 2)]
-            reasoning = (f"The variant changes {ref[pos]} to {alt_base} in "
-                         f"the {half} half of the sequence.\n"
+            # every reasoning token is inferable from the DNA (no reference-
+            # base-at-locus indexing — see the template note above)
+            reasoning = (f"The variant substitutes {alt_base} in the "
+                         f"{half} half of the sequence.\n"
                          f"This affects a regulatory region linked to the {answer}.\n"
                          f"Therefore the most likely disrupted pathway is the {answer}.")
         else:

@@ -9,7 +9,16 @@ from typing import Any, Dict, Sequence
 def truncate_dna(example: Dict[str, Any], truncate_dna_per_side: int = 1024) -> Dict[str, Any]:
     """Remove `truncate_dna_per_side` bp from each end of both sequences when
     the sequence is long enough (reference utils.py:6-20: only when
-    len > 2*per_side + 8)."""
+    len > 2*per_side + 8).
+
+    Deviation (bug fix, PARITY.md): per_side <= 0 is a no-op. The reference's
+    slice `seq[0:-0]` would return the EMPTY string for per_side=0 — it never
+    calls it that way; our CLIs expose --truncate_dna_per_side 0 to mean
+    'keep whole sequences', which silently erased every DNA sequence in the
+    pipeline until guarded (caught by the r4 rehearsal diagnosis: train AND
+    eval ran DNA-free, loss converging to the no-DNA marginal floor)."""
+    if truncate_dna_per_side <= 0:
+        return example
     for key in ("reference_sequence", "variant_sequence"):
         seq = example[key]
         if len(seq) > 2 * truncate_dna_per_side + 8:

@@ -108,6 +108,14 @@ class TestDatasetUtils:
         assert len(out["reference_sequence"]) == 80
         assert out["variant_sequence"] == "C" * 20  # too short -> untouched
 
+    def test_truncate_dna_zero_is_noop(self):
+        """Regression: per_side=0 must keep sequences whole — the naive
+        seq[0:-0] slice silently EMPTIES them (r4 rehearsal root cause)."""
+        ex = {"reference_sequence": "A" * 100, "variant_sequence": "C" * 20}
+        out = truncate_dna(dict(ex), truncate_dna_per_side=0)
+        assert out["reference_sequence"] == "A" * 100
+        assert out["variant_sequence"] == "C" * 20
+
     def test_split_ratios_and_determinism(self):
         items = list(range(100))
         tr, va, te = split_dataset(items, seed=42)
