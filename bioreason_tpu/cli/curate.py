@@ -22,7 +22,7 @@ def main(argv=None):
     p.add_argument("--fasta", default=None,
                    help="genome/contigs FASTA (optional for eqtl/omim rows "
                         "that already carry ref/alt sequence columns)")
-    p.add_argument("--variants", required=True,
+    p.add_argument("--variants", default=None,
                    help="TSV: chrom, pos (1-based), ref, alt, answer"
                         "[, gene][, reasoning]; eqtl/omim tables may instead "
                         "carry ref_forward_sequence/alt_forward_sequence "
@@ -51,6 +51,15 @@ def main(argv=None):
     p.add_argument("--assembly", default=None,
                    help="with --clinvar: keep only rows of this Assembly "
                         "(e.g. GRCh38)")
+    p.add_argument("--kegg_api_cache", default=None,
+                   help="KEGG-network retrieval mode: run the KEGG_Data_1 "
+                        "pipeline (list networks -> pull entries -> variant "
+                        "elements -> Ensembl coordinates) from this response-"
+                        "cache directory (data/retrieval.py; offline replay "
+                        "— populate the cache where egress exists)")
+    p.add_argument("--networks", nargs="*", default=None,
+                   help="with --kegg_api_cache: restrict to these network "
+                        "ids instead of listing all")
     args = p.parse_args(argv)
 
     from bioreason_tpu.data.curation import (curate_clinvar, curate_eqtl,
@@ -59,6 +68,30 @@ def main(argv=None):
                                              read_task_table,
                                              read_variant_table, write_jsonl)
     contigs = read_fasta(args.fasta) if args.fasta else None
+    if args.kegg_api_cache:
+        # Retrieval mode: KEGG_Data_1's list -> pull -> variant elements ->
+        # Ensembl coordinates pipeline, replayed from the response cache.
+        if contigs is None:
+            p.error("--kegg_api_cache requires --fasta for the windows step")
+        from bioreason_tpu.data.retrieval import (DirCacheTransport,
+                                                  EnsemblVariationClient,
+                                                  KeggClient,
+                                                  retrieve_network_variant_rows)
+        transport = DirCacheTransport(args.kegg_api_cache)
+        rows = retrieve_network_variant_rows(
+            KeggClient(transport), EnsemblVariationClient(transport),
+            network_ids=args.networks)
+        unresolved = [r for r in rows if not r["chrom"]]
+        rows = [r for r in rows if r["chrom"]]
+        items = curate_items(contigs, rows, task="kegg", flank=args.flank,
+                             validate_ref=not args.skip_mismatches)
+        write_jsonl(items, args.out)
+        print(f"wrote {len(items)} items to {args.out} "
+              f"({len(unresolved)} variant elements left unresolved: "
+              f"non-dbSNP/COSM refs need their own databases)")
+        return
+    if args.variants is None:
+        p.error("--variants is required (or use --kegg_api_cache)")
     if args.task in ("eqtl", "omim"):
         # VEP.ipynb tasks 2/3: hub-schema records (ID, question, answer,
         # reference_sequence, variant_sequence) from a task table
