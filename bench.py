@@ -110,6 +110,10 @@ def main(argv=None):
     ap.add_argument("--decoder", default="qwen3-0.6b",
                     choices=["qwen3-0.6b", "qwen3-1.7b", "qwen3-4b"])
     ap.add_argument("--frozen", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--ce_save", action="store_true",
+                    help="fused-CE backward reuses stored bf16 chunk logits "
+                         "instead of recomputing them (ops/fused_ce.py "
+                         "save_logits)")
     ap.add_argument("--fuse", action="store_true",
                     help="fused qkv/gateup base kernels (train/fuse.py); "
                          "legal here because base kernels are FROZEN under "
@@ -148,6 +152,7 @@ def main(argv=None):
         encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(),
                                     remat=remat, remat_policy=policy),
         dna_pad_token_id=151938,
+        ce_save_logits=args.ce_save,
     )
     rng = jax.random.PRNGKey(0)
     if args.frozen == "int8":

@@ -202,6 +202,11 @@ class FusionConfig:
     max_length_text: int = 512
     encoder_kind: str = "nt"          # 'nt' | 'evo2'
     hyena: Optional[HyenaConfig] = None
+    ce_save_logits: bool = False      # store bf16 chunk logits in the CE
+                                      # residuals: backward skips the logits
+                                      # recompute dot (ops/fused_ce.py) at
+                                      # ~2 B/logit HBM — only sensible with
+                                      # the supervised-gather path (small N)
 
     @classmethod
     def tiny(cls, text_vocab: int = 300, dna_pad_token_id: int = 260) -> "FusionConfig":

@@ -191,10 +191,12 @@ def fusion_forward(
     if gathered:
         loss = decoder_lm_loss_gathered(h, head, label_positions, label_targets,
                                         label_valid,
-                                        need_embedding_grad=train_embeddings)
+                                        need_embedding_grad=train_embeddings,
+                                        save_logits=cfg.ce_save_logits)
     else:
         loss = decoder_lm_loss(h, head, labels,
-                               need_embedding_grad=train_embeddings)
+                               need_embedding_grad=train_embeddings,
+                               save_logits=cfg.ce_save_logits)
     return None, loss
 
 

@@ -52,31 +52,87 @@ def _chunked_lse_and_gold(h, emb, targets, chunk):
     return m + jnp.log(s), gold
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_softmax_xent(hidden, embedding, targets, ignore_index=-100,
                        chunk: int = DEFAULT_CHUNK,
-                       need_embedding_grad: bool = False):
+                       need_embedding_grad: bool = False,
+                       save_logits: bool = False):
     """Mean CE over valid targets. hidden [N,H], embedding [V,H] (tied LM
     head), targets [N] with ignore_index holes. Set need_embedding_grad=False
     (default) when the head/embedding is frozen (LoRA runs): the backward then
-    skips the [V,H] grad accumulator entirely."""
+    skips the [V,H] grad accumulator entirely.
+
+    `save_logits=True` stores max-shifted bf16 logits [N, V_pad] as a
+    residual so the backward skips the logits recompute dot (halves CE-bwd
+    matmul FLOPs in the frozen-head case) at ~2 bytes/logit of HBM — the
+    classic remat-vs-store trade, worth it only where the supervised-gather
+    path keeps N small (bench shape: N = B*K = 1024 -> 311 MB). The shift by
+    the running row max keeps the stored values ~(logits - lse), where bf16
+    rounding perturbs exp() by |x|*2^-8 — negligible exactly where probs are
+    large (x ~ 0) and irrelevant where they are tiny (x << 0)."""
     loss, _ = _fwd(hidden, embedding, targets, ignore_index, chunk,
-                   need_embedding_grad)
+                   need_embedding_grad, save_logits)
     return loss
 
 
-def _fwd(hidden, embedding, targets, ignore_index, chunk, need_embedding_grad=False):
+def _fwd(hidden, embedding, targets, ignore_index, chunk,
+         need_embedding_grad=False, save_logits=False):
     valid = targets != ignore_index
     safe_t = jnp.where(valid, targets, 0)
-    lse, gold = _chunked_lse_and_gold(hidden, embedding, safe_t, chunk)
+    if save_logits:
+        lse, gold, shifted, shifts = _chunked_lse_gold_logits(
+            hidden, embedding, safe_t, chunk)
+    else:
+        lse, gold = _chunked_lse_and_gold(hidden, embedding, safe_t, chunk)
+        shifted = shifts = None
     nll = (lse - gold) * valid
     denom = jnp.maximum(valid.sum(), 1)
     loss = nll.sum() / denom
-    return loss, (hidden, embedding, safe_t, valid, lse, denom)
+    return loss, (hidden, embedding, safe_t, valid, lse, denom,
+                  shifted, shifts)
 
 
-def _bwd(ignore_index, chunk, need_embedding_grad, res, g):
-    hidden, embedding, safe_t, valid, lse, denom = res
+def _chunked_lse_gold_logits(h, emb, targets, chunk):
+    """_chunked_lse_and_gold that ALSO returns the per-chunk logits stored
+    bf16 after subtracting the running row max at that chunk (`shifted`
+    [n_chunks, N, chunk]) plus the fp32 maxes (`shifts` [n_chunks, N]), so
+    logits = shifted + shifts and exp(logits - lse) is recomputable without
+    the [N,chunk]x[chunk,H] dot."""
+    v = emb.shape[0]
+    n_chunks = (v + chunk - 1) // chunk
+    v_pad = n_chunks * chunk
+    emb_p = jnp.pad(emb, ((0, v_pad - v), (0, 0)))
+
+    def body(carry, ci):
+        m, s, gold = carry
+        w = jax.lax.dynamic_slice(emb_p, (ci * chunk, 0), (chunk, emb.shape[1]))
+        logits = jnp.dot(h, w.T, preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ci * chunk
+        logits = jnp.where(col < v, logits, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        s = s * jnp.exp(m - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=-1)
+        local = targets - ci * chunk
+        in_chunk = (local >= 0) & (local < chunk)
+        safe = jnp.clip(local, 0, chunk - 1)
+        g = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        gold = jnp.where(in_chunk, g, gold)
+        # bf16 storage of (logits - running max): finite everywhere the
+        # column is real; -inf pads clamp to the bf16 min, and the backward
+        # re-masks cols >= v anyway
+        shifted = jnp.maximum(logits - m_new[:, None], -1e30).astype(jnp.bfloat16)
+        return (m_new, s, gold), (shifted, m_new)
+
+    n = h.shape[0]
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    (m, s, gold), (shifted, shifts) = jax.lax.scan(body, init,
+                                                   jnp.arange(n_chunks))
+    return m + jnp.log(s), gold, shifted, shifts
+
+
+def _bwd(ignore_index, chunk, need_embedding_grad, save_logits, res, g):
+    hidden, embedding, safe_t, valid, lse, denom, shifted, shifts = res
     v, hdim = embedding.shape
     n = hidden.shape[0]
     scale = (g / denom) * valid                                    # [N]
@@ -86,8 +142,11 @@ def _bwd(ignore_index, chunk, need_embedding_grad, res, g):
 
     def body(carry, ci):
         w = jax.lax.dynamic_slice(emb_p, (ci * chunk, 0), (chunk, hdim))
-        logits = jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ci * chunk
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1) + ci * chunk
+        if save_logits:
+            logits = (shifted[ci].astype(jnp.float32) + shifts[ci][:, None])
+        else:
+            logits = jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
         probs = jnp.exp(jnp.where(col < v, logits, -jnp.inf) - lse[:, None])
         onehot = (col == safe_t[:, None]).astype(jnp.float32)
         dlogits = (probs - onehot) * scale[:, None]                 # [N, chunk]
@@ -183,7 +242,8 @@ chunked_token_logps.defvjp(_logps_fwd, _logps_bwd)
 
 
 def decoder_lm_loss(hidden, embedding, labels, ignore_index=-100,
-                    chunk: int = DEFAULT_CHUNK, need_embedding_grad: bool = False):
+                    chunk: int = DEFAULT_CHUNK, need_embedding_grad: bool = False,
+                    save_logits: bool = False):
     """Shifted causal LM loss on final-norm hidden states [B,T,H] with a tied
     embedding head — drop-in for cross_entropy_loss(logits, labels) without
     the [B,T,V] logits."""
@@ -191,7 +251,7 @@ def decoder_lm_loss(hidden, embedding, labels, ignore_index=-100,
     h = hidden[:, :-1].reshape(-1, hdim)
     y = labels[:, 1:].reshape(-1)
     return fused_softmax_xent(h, embedding, y, ignore_index, chunk,
-                              need_embedding_grad)
+                              need_embedding_grad, save_logits)
 
 
 def gather_label_positions(labels, bucket: int = 64):
@@ -226,7 +286,8 @@ def gather_label_positions(labels, bucket: int = 64):
 
 def decoder_lm_loss_gathered(hidden, embedding, positions, targets, valid,
                              chunk: int = DEFAULT_CHUNK,
-                             need_embedding_grad: bool = False):
+                             need_embedding_grad: bool = False,
+                             save_logits: bool = False):
     """Shifted causal LM loss over pre-gathered supervised positions
     (see gather_label_positions). hidden [B,T,H]; positions/targets/valid
     [B,K]. Same mean-over-valid semantics as decoder_lm_loss."""
@@ -235,4 +296,5 @@ def decoder_lm_loss_gathered(hidden, embedding, positions, targets, valid,
                             axis=1)                                 # [B,K,H]
     y = jnp.where(valid.astype(bool), targets, -100)
     return fused_softmax_xent(h.reshape(-1, hdim), embedding,
-                              y.reshape(-1), -100, chunk, need_embedding_grad)
+                              y.reshape(-1), -100, chunk,
+                              need_embedding_grad, save_logits)

@@ -113,3 +113,80 @@ class TestGatheredLoss:
             chunk=16))(hidden)
         np.testing.assert_allclose(np.asarray(g_gath), np.asarray(g_full),
                                    atol=1e-6)
+
+
+class TestSaveLogits:
+    """save_logits=True: backward reuses stored bf16 max-shifted chunk logits
+    (ops/fused_ce.py) — gradients must match the recompute path to bf16
+    storage tolerance, and exactly where probs are large."""
+
+    def _setup(self, seed=3, B=2, T=9, H=16, V=41):
+        rng = np.random.default_rng(seed)
+        hidden = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+        emb = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, V, (B, T)).astype(np.int32))
+        labels = labels.at[:, :2].set(-100)
+        return hidden, emb, labels
+
+    def test_loss_identical(self):
+        hidden, emb, labels = self._setup()
+        l0 = decoder_lm_loss(hidden, emb, labels, chunk=16)
+        l1 = decoder_lm_loss(hidden, emb, labels, chunk=16, save_logits=True)
+        # the forward lse/gold math is unchanged — losses are bit-identical
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    @pytest.mark.parametrize("chunk", [7, 16, 64])
+    def test_gradients_match_recompute(self, chunk):
+        hidden, emb, labels = self._setup()
+
+        def loss(h, e, save):
+            return decoder_lm_loss(h, e, labels, chunk=chunk,
+                                   need_embedding_grad=True, save_logits=save)
+
+        g0 = jax.grad(lambda h, e: loss(h, e, False), argnums=(0, 1))(hidden, emb)
+        g1 = jax.grad(lambda h, e: loss(h, e, True), argnums=(0, 1))(hidden, emb)
+        for a, b in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-3)
+
+    def test_gradients_match_dense_oracle(self):
+        hidden, emb, labels = self._setup(seed=5)
+        gf = jax.grad(lambda h, e: decoder_lm_loss(h, e, labels, chunk=16,
+                                                   need_embedding_grad=True,
+                                                   save_logits=True),
+                      argnums=(0, 1))(hidden, emb)
+        gd = jax.grad(lambda h, e: dense_loss(h, e, labels),
+                      argnums=(0, 1))(hidden, emb)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-3)
+
+    def test_frozen_head_path(self):
+        hidden, emb, labels = self._setup(seed=7)
+        g0 = jax.grad(lambda h: decoder_lm_loss(h, emb, labels, chunk=16))(hidden)
+        g1 = jax.grad(lambda h: decoder_lm_loss(h, emb, labels, chunk=16,
+                                                save_logits=True))(hidden)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   atol=5e-4, rtol=5e-3)
+
+    def test_fusion_forward_flag(self):
+        # the FusionConfig.ce_save_logits knob reaches the loss and trains
+        from bioreason_tpu.config import FusionConfig
+        import dataclasses
+        from bioreason_tpu.models import init_fusion
+        from bioreason_tpu.models.fusion import fusion_forward
+        cfg = dataclasses.replace(FusionConfig.tiny(), ce_save_logits=True)
+        params = init_fusion(jax.random.PRNGKey(0), cfg)
+        B, T, D = 2, 12, 8
+        ids = jnp.full((B, T), 5, jnp.int32)
+        mask = jnp.ones((B, T), jnp.int32)
+        dna = jnp.ones((B, D), jnp.int32)
+        dmask = jnp.zeros((B, D), jnp.int32)   # no DNA tokens -> no pads
+        labels = jnp.full((B, T), 7, jnp.int32)
+        def lf(p):
+            _, loss = fusion_forward(p, cfg, ids, mask, dna, dmask, labels=labels)
+            return loss
+        loss, grads = jax.value_and_grad(lf)(params)
+        assert np.isfinite(float(loss))
+        gnorm = jax.tree.reduce(lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0)
+        assert gnorm > 0
