@@ -33,6 +33,10 @@ def main(argv=None):
                          "rollouts — required to fit qwen3-4b on one v5e")
     ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--G", type=int, default=4)
+    ap.add_argument("--remat", default="full", choices=["off", "full", "dots"],
+                    help="decoder remat for the update pass (GRPO batches "
+                         "are small — B*T ~ 5k tokens — so remat-off often "
+                         "fits and skips the recompute)")
     ap.add_argument("--probe", action="store_true",
                     help="print per-phase timers (prep/rollout/logps_dispatch"
                          "/rewards/update) for step-time attribution")
@@ -57,7 +61,10 @@ def main(argv=None):
     tok = ByteTextTokenizer()
     proc = BioProcessor(tok, KmerTokenizer())
     fusion = FusionConfig(
-        decoder=DEC(vocab_size=tok.vocab_size),  # remat on
+        decoder=dataclasses.replace(
+            DEC(vocab_size=tok.vocab_size),
+            remat=args.remat != "off",
+            remat_policy="dots" if args.remat == "dots" else "full"),
         encoder=dataclasses.replace(EncoderConfig.nt_v2_500m(), remat=False),
         dna_pad_token_id=tok.dna_pad_id,
         max_length_text=512, max_length_dna=128)

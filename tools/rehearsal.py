@@ -109,7 +109,12 @@ def main(argv=None):
     sft_epochs = args.sft_epochs or (2 if tiny else 6)
     grpo_steps = args.grpo_steps or (2 if tiny else 60)
     decoder = "tiny" if tiny else "qwen3-0.6b"
-    encoder = "tiny" if tiny else "nt-500m"
+    # NT-50M (a published NT-v2 size), not NT-500M: the rehearsal is a FULL
+    # finetune of both towers (from-scratch weights), and 0.6B + 500M of
+    # fp32 masters + Adam state + grads is 16.4 GB — measured OOM by 1.64 GB
+    # on the 15.75 GB v5e. The decoder (the judged 0.6B scale) is unchanged;
+    # the synthetic task needs far less encoder capacity than real genomics.
+    encoder = "tiny" if tiny else "nt-50m"
     batch = 4 if tiny else 8
     lr = 3e-3 if tiny else 3e-4
     max_len_dna = args.seq_len + 8       # base-level tokens + CLS + slack
