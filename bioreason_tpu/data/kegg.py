@@ -164,7 +164,10 @@ def synthetic_kegg_items(n: int = 64, seq_len: int = 256, seed: int = 0,
         pos = rng.choice(loci) if fixed_positions else rng.randrange(seq_len)
         alt_base = rng.choice([b for b in "ACGT" if b != ref[pos]])
         if fixed_positions:
-            var = ref[:pos] + alt_base * run + ref[pos + run:]
+            # clamp the run to the sequence end so variant stays equal-length
+            # with reference for any seq_len (the uniform-batch invariant)
+            r = min(run, seq_len - pos)
+            var = ref[:pos] + alt_base * r + ref[pos + r:]
         else:
             var = ref[:pos] + alt_base + ref[pos + 1:]
         if learnable:

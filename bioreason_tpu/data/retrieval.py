@@ -298,6 +298,7 @@ def retrieve_network_variant_rows(
             refs = extract_variant_refs(var_text)
             resolved = False
             unresolved = []
+            elem_rows: List[Dict[str, Any]] = []
             for source, ref_id in refs:
                 if source not in ("dbSNP", "COSM"):
                     unresolved.append(f"{source}:{ref_id}")
@@ -310,7 +311,7 @@ def retrieve_network_variant_rows(
                         continue
                     raise
                 for alt in var["alts"] or [""]:
-                    rows.append({
+                    elem_rows.append({
                         "chrom": var["chrom"],
                         "pos": var["start"] + 1,        # 1-based table schema
                         "ref": var["ref"],
@@ -328,12 +329,17 @@ def retrieve_network_variant_rows(
                     })
                     resolved = True
             if not resolved and refs:
-                rows.append({
+                elem_rows.append({
                     "chrom": "", "pos": 0, "ref": "", "alt": "",
                     "answer": diseases, "gene": tok.split("v")[0],
                     "reasoning": "", "network": net["entry"],
                     "network_name": net["name"], "pathways": pathways,
                     "source": "", "source_id": tok,
-                    "consequence": "", "unresolved_refs": unresolved,
+                    "consequence": "", "unresolved_refs": [],
                 })
+            # surface every non-resolvable ref on EVERY row of the element
+            # (resolved rows included) — not just the no-resolution fallback
+            for row in elem_rows:
+                row["unresolved_refs"] = list(unresolved)
+            rows.extend(elem_rows)
     return rows

@@ -41,7 +41,11 @@ def _w8a8_dot(x, kern, dtype):
     yi = jax.lax.dot_general(xq, kern["q"],
                              (((xq.ndim - 1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    return yi.astype(dtype) * sx.astype(dtype) * kern["scale"][..., 0, :].astype(dtype)
+    # apply the fp32 scales to the int32 accumulator BEFORE the dtype cast:
+    # yi reaches ~1.6e7, so casting to bf16 first would add ~2^-8 relative
+    # rounding on top of the quantization error for no benefit
+    y = yi.astype(jnp.float32) * sx * kern["scale"][..., 0, :].astype(jnp.float32)
+    return y.astype(dtype)
 
 
 def dense(params, x, dtype=jnp.bfloat16, lora_dropout=None, act8=False):
@@ -287,9 +291,15 @@ def gelu_mlp_init(rng, dim: int, hidden: int, bias: bool = False):
 
 def gelu_mlp(params, x, dtype=jnp.bfloat16, lora_dropout=None, act8=False):
     # exact (erf) gelu: HF ESM uses F.gelu default, not the tanh approximation
-    up = dense(params["up"], x, dtype, lora_dropout, act8)
+    if lora_dropout is not None:
+        key, rate = lora_dropout
+        drop_up = (jax.random.fold_in(key, 0), rate)
+        drop_down = (jax.random.fold_in(key, 1), rate)
+    else:
+        drop_up = drop_down = None
+    up = dense(params["up"], x, dtype, drop_up, act8)
     return dense(params["down"], jax.nn.gelu(up, approximate=False), dtype,
-                 lora_dropout, act8)
+                 drop_down, act8)
 
 
 # ---------------------------------------------------------------------------

@@ -358,7 +358,15 @@ def decoder_decode_step_grouped(params: Dict, cfg: DecoderConfig,
     {k,v} [B_u, P, ...] (NOT written); dec_cache = per-layer {k,v}
     [B_u*G, N, ...] written at dec_index; dec_mask [B_u*G, N] marks valid
     decode slots INCLUDING the one being written. Returns (logits, dec_cache).
+
+    Decode stays weight-only int8 even when cfg.act_int8 requests W8A8:
+    per-token act8 decode measured SLOWER (10.7k -> 9.8k tok/s, see
+    generate/continuous.py) and adds per-token quantization error, so
+    act_int8 is prefill-only by design.
     """
+    if cfg.act_int8:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_int8=False)
     dtype = jnp.dtype(cfg.dtype)
     h = L.embed(params["embed"], input_ids, dtype)
     bg, t, _ = h.shape
