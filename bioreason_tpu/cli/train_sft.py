@@ -65,6 +65,29 @@ def main(argv=None):
                         "dead — here it really unfreezes the tower; used by "
                         "the from-scratch quality rehearsal where no "
                         "pretrained encoder exists)")
+    p.add_argument("--supervise_eos", action="store_true",
+                   help="supervise the final assistant <|im_end|> so the "
+                        "model LEARNS to stop (required for from-scratch "
+                        "training; pretrained Qwen3 already stops, and the "
+                        "reference collator's pad-id re-mask never "
+                        "supervises it — see data/collate.py)")
+    p.add_argument("--probe_markers", default=None,
+                   help="JSON {name: marker_text} — at every --eval_every, "
+                        "also report teacher-forced next-token accuracy at "
+                        "the token AFTER each marker on the val split "
+                        "(train/eval.py:teacher_forced_probe). Val loss "
+                        "averages over the ~250-token template span and "
+                        "hides total failure on the few input-dependent "
+                        "tokens (the r4 rehearsal: val loss 0.0118 with the "
+                        "two DNA-dependent decisions at chance); the probe "
+                        "is the metric that actually tracks learning")
+    p.add_argument("--stop_probe_acc", type=float, default=0.0,
+                   help="early-stop once EVERY --probe_markers accuracy on "
+                        "the val split reaches this threshold (e.g. 0.95: "
+                        "converged enough to answer free-running, while "
+                        "leaving headroom for a GRPO stage to improve)")
+    p.add_argument("--probe_n", type=int, default=64,
+                   help="val examples per probe")
     p.add_argument("--bucket", type=int, default=128)
     p.add_argument("--eval_every", type=int, default=0, help="val loss every N steps")
     p.add_argument("--sample_every", type=int, default=0,
@@ -193,13 +216,26 @@ def main(argv=None):
     collate = functools.partial(sft_collate, processor=proc,
                                 max_length_text=args.max_length_text,
                                 max_length_dna=args.max_length_dna,
-                                bucket=args.bucket)
+                                bucket=args.bucket,
+                                supervise_eos=args.supervise_eos)
     val_collate = collate
 
     from bioreason_tpu.utils.profiling import trace as profiler_trace
     import contextlib
 
+    probe_markers = None
+    probe_fwd = None
+    if args.probe_markers:
+        import json as _json
+        from bioreason_tpu.models.fusion import fusion_forward
+        from bioreason_tpu.train.eval import teacher_forced_probe
+        probe_markers = _json.loads(args.probe_markers)
+        probe_fwd = jax.jit(
+            lambda pr, ids, am, dids, dam: fusion_forward(
+                pr, fusion_cfg, ids, am, dids, dam)[0])
+
     step = 0
+    stop_early = False
     prof = contextlib.nullcontext()
     from bioreason_tpu.train.dataflow import prefetch
     for batch in prefetch(batch_iterator(train_items, collate, args.batch_size,
@@ -227,6 +263,24 @@ def main(argv=None):
                     if kept:
                         print(f"val_loss {val_loss:.4f} in "
                               f"top-{args.keep_top_k}: saved {kept}")
+            if probe_markers and val_items:
+                pm = teacher_forced_probe(
+                    trainer.params, fusion_cfg, proc,
+                    val_items[:args.probe_n], markers=probe_markers,
+                    batch_size=args.batch_size,
+                    max_length_text=args.max_length_text,
+                    max_length_dna=args.max_length_dna,
+                    supervise_eos=args.supervise_eos, forward_fn=probe_fwd)
+                logger.log({f"val/probe_{k}": v for k, v in pm.items()},
+                           step=step)
+                marker_accs = {k: v for k, v in pm.items() if k != "span_acc"}
+                print(f"probe @{step}: " + " ".join(
+                    f"{k}={v:.2f}" for k, v in sorted(pm.items())), flush=True)
+                if (args.stop_probe_acc
+                        and min(marker_accs.values()) >= args.stop_probe_acc):
+                    print(f"probe accuracies all >= {args.stop_probe_acc}: "
+                          f"stopping at step {step}")
+                    stop_early = True
         if args.sample_every and step % args.sample_every == 0:
             from bioreason_tpu.data.chat_template import render_chat
             from bioreason_tpu.train.eval import _prompt_messages
@@ -248,7 +302,7 @@ def main(argv=None):
             # async: the loop pays only an on-device snapshot copy;
             # the host gather + file write run on a background thread
             trainer.save(state_path, block=False)
-        if args.max_steps and step >= args.max_steps:
+        if stop_early or (args.max_steps and step >= args.max_steps):
             break
 
     trainer.finish_saves()

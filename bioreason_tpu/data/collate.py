@@ -36,8 +36,17 @@ def _find_subsequence(row: np.ndarray, pattern: np.ndarray) -> List[int]:
 
 
 def mask_non_assistant_labels(input_ids: np.ndarray, text_tokenizer,
-                              pad_token_id: Optional[int] = None) -> np.ndarray:
-    """labels := input_ids on assistant spans, IGNORE_INDEX elsewhere."""
+                              pad_token_id: Optional[int] = None,
+                              supervise_eos: bool = False,
+                              attention_mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """labels := input_ids on assistant spans, IGNORE_INDEX elsewhere.
+
+    `supervise_eos=True` extends each span THROUGH its closing `<|im_end|>`
+    marker and masks padding via `attention_mask` instead of the pad id
+    (pad == <|im_end|> for Qwen-style tokenizers, so the reference's id-based
+    re-mask silently unsupervises every end marker — fine when starting from
+    a pretrained Qwen3 that already emits <|im_end|>, fatal for from-scratch
+    training where the model must LEARN to stop; see tools/rehearsal.py)."""
     labels = np.full_like(input_ids, IGNORE_INDEX)
     start_marker = np.asarray(text_tokenizer.encode("<|im_start|>assistant\n"), dtype=input_ids.dtype)
     end_marker = np.asarray(text_tokenizer.encode("<|im_end|>"), dtype=input_ids.dtype)
@@ -50,12 +59,19 @@ def mask_non_assistant_labels(input_ids: np.ndarray, text_tokenizer,
         for start in starts:
             valid_ends = [e for e in ends if e > start]
             end = min(valid_ends) if valid_ends else seq_len
+            if supervise_eos and valid_ends:
+                end += len(end_marker)
             end = min(end, seq_len)
             if start < end:
                 labels[i, start:end] = row[start:end]
 
-    pad_id = pad_token_id if pad_token_id is not None else text_tokenizer.pad_token_id
-    labels[input_ids == pad_id] = IGNORE_INDEX
+    if supervise_eos:
+        if attention_mask is None:
+            raise ValueError("supervise_eos=True needs attention_mask for pad masking")
+        labels[np.asarray(attention_mask) == 0] = IGNORE_INDEX
+    else:
+        pad_id = pad_token_id if pad_token_id is not None else text_tokenizer.pad_token_id
+        labels[input_ids == pad_id] = IGNORE_INDEX
     return labels
 
 
@@ -73,10 +89,28 @@ def sft_collate(
     bucket: Optional[int] = None,
     return_answer: bool = False,
     max_dna_per_item: Optional[int] = None,
+    supervise_eos: bool = False,
 ) -> Dict[str, Any]:
     """Collate chat-formatted examples (with 'prompt' messages and
-    'dna_sequences') into model-ready arrays with SFT labels."""
-    prompts_text = [apply_chat_template(ex)["prompt"] for ex in examples]
+    'dna_sequences') into model-ready arrays with SFT labels.
+
+    `supervise_eos=True` keeps the final assistant `<|im_end|>` in the
+    rendered text AND in the supervised labels (see
+    mask_non_assistant_labels) — required when training from scratch so the
+    model learns to terminate; default False matches the reference collator
+    exactly (continue_final_message truncation + pad-id re-mask)."""
+    if supervise_eos:
+        from bioreason_tpu.data.chat_template import render_chat
+
+        def _render(ex):
+            text = render_chat(ex["prompt"], add_generation_prompt=False)
+            # keep the final <|im_end|>, drop only the trailing newline
+            end = text.rindex("<|im_end|>") + len("<|im_end|>")
+            return text[:end]
+
+        prompts_text = [_render(ex) for ex in examples]
+    else:
+        prompts_text = [apply_chat_template(ex)["prompt"] for ex in examples]
     batch_dna = [ex["dna_sequences"] for ex in examples]
 
     # Pre-tokenize DNA once to know the expanded text width when bucketing.
@@ -101,7 +135,9 @@ def sft_collate(
             pad_dna_to=d_w,
         )
 
-    labels = mask_non_assistant_labels(out.input_ids, processor.text_tokenizer)
+    labels = mask_non_assistant_labels(out.input_ids, processor.text_tokenizer,
+                                       supervise_eos=supervise_eos,
+                                       attention_mask=out.attention_mask)
     batch: Dict[str, Any] = {
         "input_ids": out.input_ids,
         "attention_mask": out.attention_mask,

@@ -150,6 +150,91 @@ def evaluate_generative(
                       generations)
 
 
+def teacher_forced_probe(
+    params: Dict,
+    fusion_cfg,
+    processor: BioProcessor,
+    examples: Sequence[Dict[str, Any]],
+    markers: Dict[str, str],
+    batch_size: int = 8,
+    max_length_text: int = 512,
+    max_length_dna: int = 2048,
+    supervise_eos: bool = False,
+    forward_fn=None,
+) -> Dict[str, float]:
+    """Teacher-forced next-token accuracy at named marker positions.
+
+    Renders each example exactly like the SFT collator (gold assistant turn
+    included), runs the fusion forward for logits, and for each
+    `markers[name] = text` measures argmax accuracy at the token immediately
+    AFTER the (first) occurrence of `text` in the row. Also reports
+    `span_acc`, argmax accuracy over the whole supervised span.
+
+    This is the eval that separates 'cannot generate' from 'never learned':
+    val loss averages over ~250 template tokens and hides total failure on
+    the few input-dependent ones (the round-4 rehearsal: val loss 0.0118 ==
+    ln4+ln2 spread over the span — exactly the entropy of the two unlearned
+    DNA-dependent decisions; artifacts/rehearsal_bench.json). The reference
+    has no counterpart (its eval is generation-only,
+    train_dna_qwen.py:645-939); this probe exists to attribute quality
+    failures between the training and generation halves of the pipeline.
+    """
+    import numpy as np
+
+    from bioreason_tpu.data.collate import IGNORE_INDEX, sft_collate
+    from bioreason_tpu.models.fusion import fusion_forward
+
+    tok = processor.text_tokenizer
+    marker_ids = {name: np.asarray(tok.encode(text), dtype=np.int32)
+                  for name, text in markers.items()}
+    hits = {name: 0 for name in markers}
+    counts = {name: 0 for name in markers}
+    span_hits = span_count = 0
+
+    if forward_fn is None:
+        forward_fn = jax.jit(
+            lambda p, ids, am, dids, dam: fusion_forward(
+                p, fusion_cfg, ids, am, dids, dam)[0])
+
+    for start in range(0, len(examples), batch_size):
+        chunk = list(examples[start:start + batch_size])
+        batch = sft_collate(chunk, processor, max_length_text=max_length_text,
+                            max_length_dna=max_length_dna,
+                            supervise_eos=supervise_eos)
+        logits = forward_fn(params, batch["input_ids"], batch["attention_mask"],
+                            batch["dna_input_ids"], batch["dna_attention_mask"])
+        pred = np.asarray(jnp_argmax_host(logits))            # [B, T]
+        ids = np.asarray(batch["input_ids"])
+        labels = np.asarray(batch["labels"])
+        # shifted: pred[:, t] (from logits at t) predicts ids[:, t+1]
+        for i in range(ids.shape[0]):
+            row = ids[i]
+            sup = labels[i] != IGNORE_INDEX
+            # supervised-span accuracy (positions t with supervised t target)
+            t_idx = np.nonzero(sup)[0]
+            t_idx = t_idx[t_idx > 0]
+            span_hits += int((pred[i, t_idx - 1] == row[t_idx]).sum())
+            span_count += len(t_idx)
+            for name, mids in marker_ids.items():
+                from bioreason_tpu.data.collate import _find_subsequence
+                pos = _find_subsequence(row, mids)
+                if not pos:
+                    continue
+                q = pos[0] + len(mids)            # first token after marker
+                if q < len(row):
+                    counts[name] += 1
+                    hits[name] += int(pred[i, q - 1] == row[q])
+
+    out = {f"{name}_acc": hits[name] / max(counts[name], 1) for name in markers}
+    out["span_acc"] = span_hits / max(span_count, 1)
+    return out
+
+
+def jnp_argmax_host(logits):
+    import jax.numpy as jnp
+    return jnp.argmax(logits, axis=-1)
+
+
 def multilabel_substring_accuracy(generations: Sequence[Dict[str, Any]]) -> float:
     """Plain 'generation contains ground truth' accuracy over all examples —
     the sensible multi-class metric alongside the reference's binary scheme."""

@@ -292,3 +292,94 @@ class TestKVCacheInt8:
                                  greedy=True)])
         first = next(r for r in done if r.rid == 0)
         assert again[0].tokens == first.tokens
+
+
+class TestTeacherForcedEngineParity:
+    def test_prefill_decode_matches_training_forward(self):
+        """VERDICT r4 #1(d): the generation path (prompt-only left-padded
+        prefill + KV-cached decode, exactly the engine's non-grouped layout)
+        reproduces the TRAINING forward (sft_collate layout through
+        fusion_forward) teacher-forced on the gold completion — logits agree
+        position-for-position. Rules the engine/KV-cache/positions/splice out
+        of the rehearsal quality failure (artifacts/rehearsal_bench.json)."""
+        from bioreason_tpu.data import BioProcessor, ByteTextTokenizer, KmerTokenizer
+        from bioreason_tpu.data.chat_template import render_chat
+        from bioreason_tpu.data.collate import IGNORE_INDEX, sft_collate
+        from bioreason_tpu.data.kegg import (format_kegg_for_dna_llm,
+                                             synthetic_kegg_items)
+        from bioreason_tpu.models.fusion import (fused_input_embeddings,
+                                                 fusion_forward)
+        from bioreason_tpu.models import layers as L
+        from bioreason_tpu.models.qwen3 import decoder_forward, init_cache
+
+        tok = ByteTextTokenizer()
+        proc = BioProcessor(tok, KmerTokenizer(kmer=1))
+        cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                dna_pad_token_id=tok.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(1), cfg)
+        examples = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(
+            2, seq_len=16, seed=4, learnable=True, fixed_positions=True)]
+
+        # -- training side: collated full-sequence forward --------------------
+        batch = sft_collate(examples, proc, max_length_text=512,
+                            max_length_dna=32, supervise_eos=True)
+        logits_train, _ = fusion_forward(
+            params, cfg, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["dna_input_ids"]),
+            jnp.asarray(batch["dna_attention_mask"]))
+        logits_train = np.asarray(logits_train)
+
+        # -- eval side: prompt-only left-padded prefill + forced decode -------
+        prompt_msgs = [[m for m in ex["prompt"] if m["role"] != "assistant"]
+                       for ex in examples]
+        rendered = [render_chat(m, add_generation_prompt=True) for m in prompt_msgs]
+        out = proc(text=rendered,
+                   batch_dna_sequences=[ex["dna_sequences"] for ex in examples],
+                   max_length_text=512, max_length_dna=32, padding_side="left")
+        b, p = out.input_ids.shape
+        n_forced = 8
+        dtype = jnp.dtype(cfg.decoder.dtype)
+        embeds = fused_input_embeddings(params, cfg, jnp.asarray(out.input_ids),
+                                        jnp.asarray(out.dna_input_ids),
+                                        jnp.asarray(out.dna_attention_mask))
+        cache = init_cache(cfg.decoder, b, p + n_forced, dtype)
+        am = jnp.asarray(out.attention_mask)
+        cache_mask = jnp.pad(am, ((0, 0), (0, n_forced)))
+        positions = L.positions_from_mask(am)
+        logits, cache = decoder_forward(
+            params["decoder"], cfg.decoder, inputs_embeds=embeds,
+            attention_mask=am, positions=positions, cache=cache,
+            cache_index=0, cache_mask=cache_mask)
+        step_logits = [np.asarray(logits[:, -1, :])]       # predicts gold[0]
+
+        # gold completion tokens per row from the supervised span
+        labels = np.asarray(batch["labels"])
+        spans = []
+        for i in range(b):
+            idx = np.nonzero(labels[i] != IGNORE_INDEX)[0]
+            spans.append((int(idx[0]), np.asarray(batch["input_ids"])[i, idx]))
+        gold = np.stack([s[1][:n_forced] for s in spans])   # [B, n_forced]
+        prompt_lens = np.asarray(am.sum(axis=-1), np.int32)
+
+        kv_mask = cache_mask
+        for j in range(1, n_forced):
+            cur = jnp.asarray(gold[:, j - 1][:, None])
+            pos_j = jnp.asarray(prompt_lens + j - 1)[:, None]
+            kv_mask = kv_mask.at[:, p + j - 1].set(1)
+            lj, cache = decoder_forward(
+                params["decoder"], cfg.decoder, input_ids=cur,
+                attention_mask=jnp.ones((b, 1), jnp.int32), positions=pos_j,
+                cache=cache, cache_index=p + j - 1, cache_mask=kv_mask)
+            step_logits.append(np.asarray(lj[:, 0, :]))
+
+        # -- compare: engine step j logits == training logits predicting ------
+        # gold[j] (training position span_start + j - 1)
+        for i in range(b):
+            start = spans[i][0]
+            for j in range(n_forced):
+                train_row = logits_train[i, start + j - 1]
+                eval_row = step_logits[j][i]
+                np.testing.assert_allclose(eval_row, train_row, rtol=2e-4,
+                                           atol=2e-4)
+                assert np.argmax(eval_row) == np.argmax(train_row)

@@ -78,6 +78,53 @@ class TestSFTCollate:
         pad_positions = batch["input_ids"] == p.text_tokenizer.pad_token_id
         assert np.all(batch["labels"][pad_positions] == IGNORE_INDEX)
 
+    def test_supervise_eos_includes_final_im_end(self):
+        p = make_processor()
+        tok = p.text_tokenizer
+        items = [format_kegg_for_dna_llm(it)
+                 for it in synthetic_kegg_items(2, seq_len=24, seed=5)]
+        batch = sft_collate(items, p, max_length_text=512, max_length_dna=64,
+                            supervise_eos=True)
+        for i in range(2):
+            ids, labels = batch["input_ids"][i], batch["labels"][i]
+            sup = labels != IGNORE_INDEX
+            text = tok.decode(ids[sup], skip_special_tokens=False)
+            # final <|im_end|> IS supervised; span still assistant-only
+            assert text.startswith("<think>")
+            assert text.endswith("<|im_end|>")
+            assert text.count("<|im_end|>") == 1
+            # the supervised eos is the LAST attended token of the row
+            last_attended = np.nonzero(batch["attention_mask"][i])[0][-1]
+            assert sup[last_attended]
+            assert ids[last_attended] == tok.eos_token_id
+        # left padding (pad id == eos id) stays unsupervised
+        pad_cols = batch["attention_mask"] == 0
+        assert np.all(batch["labels"][pad_cols] == IGNORE_INDEX)
+
+    def test_teacher_forced_probe_markers(self):
+        import jax
+        from bioreason_tpu.config import FusionConfig
+        from bioreason_tpu.models import init_fusion
+        from bioreason_tpu.train.eval import teacher_forced_probe
+
+        p = make_processor()
+        p2 = BioProcessor(ByteTextTokenizer(), KmerTokenizer(kmer=1))
+        tok = p2.text_tokenizer
+        items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(
+            4, seq_len=24, seed=9, learnable=True, fixed_positions=True)]
+        cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                dna_pad_token_id=tok.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(0), cfg)
+        out = teacher_forced_probe(
+            params, cfg, p2, items,
+            markers={"base": "substitutes ", "half": " in the ",
+                     "answer": "Answer: "},
+            batch_size=4, max_length_text=512, max_length_dna=32)
+        # every marker occurs in every learnable item; random model ~ chance
+        for key in ("base_acc", "half_acc", "answer_acc", "span_acc"):
+            assert 0.0 <= out[key] <= 1.0
+        assert out["span_acc"] < 0.5   # untrained model can't fit the span
+
     def test_bucketing_rounds_widths(self):
         p = make_processor()
         items = [format_kegg_for_dna_llm(it) for it in synthetic_kegg_items(2, seq_len=24, seed=1)]
