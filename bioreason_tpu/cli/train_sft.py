@@ -88,6 +88,11 @@ def main(argv=None):
                         "leaving headroom for a GRPO stage to improve)")
     p.add_argument("--probe_n", type=int, default=64,
                    help="val examples per probe")
+    p.add_argument("--focal_gamma", type=float, default=0.0,
+                   help="detached focal CE weighting on the train loss "
+                        "(ops/fused_ce.py): >0 concentrates gradient on "
+                        "unfit tokens; for from-scratch SFT where ~250 "
+                        "template tokens drown the few input-dependent ones")
     p.add_argument("--bucket", type=int, default=128)
     p.add_argument("--eval_every", type=int, default=0, help="val loss every N steps")
     p.add_argument("--sample_every", type=int, default=0,
@@ -194,6 +199,7 @@ def main(argv=None):
         optim=OptimConfig(learning_rate=args.learning_rate, total_steps=total_steps),
         lora=None if args.no_lora else LoRAConfig(r=args.lora_r, alpha=args.lora_alpha),
         freeze_encoder=not args.dna_model_finetune,
+        focal_gamma=args.focal_gamma,
         seed=args.seed)
 
     mesh = build_mesh(args.mesh)

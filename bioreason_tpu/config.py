@@ -265,6 +265,10 @@ class SFTConfig:
     # per-DP-shard batch. Stages = mesh 'model' axis size; decoder TP rules
     # are replaced by stage-contiguous layer sharding.
     pp_micro: int = 0
+    # detached focal CE weighting on the TRAIN loss only (eval stays plain
+    # CE): >0 concentrates gradient on unfit tokens. For from-scratch SFT on
+    # template-heavy reasoning spans — see ops/fused_ce.py:_focal_weighted_mean
+    focal_gamma: float = 0.0
     seed: int = 0
 
 

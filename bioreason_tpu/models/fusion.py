@@ -157,6 +157,7 @@ def fusion_forward(
     label_positions: Optional[jnp.ndarray] = None,
     label_targets: Optional[jnp.ndarray] = None,
     label_valid: Optional[jnp.ndarray] = None,
+    focal_gamma: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Fused forward. Returns (logits, loss or None).
 
@@ -188,7 +189,20 @@ def fusion_forward(
             else dec["embed"]["embedding"])
     h = (hidden.astype(jnp.bfloat16) if cfg.decoder.dtype == "bfloat16"
          else hidden)
-    if gathered:
+    if focal_gamma > 0.0:
+        # detached focal weighting (ops/fused_ce.py:_focal_weighted_mean):
+        # train-time option for from-scratch SFT on template-heavy spans
+        from bioreason_tpu.ops.fused_ce import (decoder_lm_loss_focal,
+                                                decoder_lm_loss_focal_gathered)
+        if gathered:
+            loss = decoder_lm_loss_focal_gathered(
+                h, head, label_positions, label_targets, label_valid,
+                focal_gamma, need_embedding_grad=train_embeddings)
+        else:
+            loss = decoder_lm_loss_focal(
+                h, head, labels, focal_gamma,
+                need_embedding_grad=train_embeddings)
+    elif gathered:
         loss = decoder_lm_loss_gathered(h, head, label_positions, label_targets,
                                         label_valid,
                                         need_embedding_grad=train_embeddings,

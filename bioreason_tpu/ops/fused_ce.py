@@ -298,3 +298,54 @@ def decoder_lm_loss_gathered(hidden, embedding, positions, targets, valid,
     return fused_softmax_xent(h.reshape(-1, hdim), embedding,
                               y.reshape(-1), -100, chunk,
                               need_embedding_grad, save_logits)
+
+# ---------------------------------------------------------------------------
+# Focal-weighted LM loss (detached weights)
+# ---------------------------------------------------------------------------
+
+def _focal_weighted_mean(logps, valid, gamma):
+    """loss = sum(w * CE) / sum(w) with w = stop_grad((1 - p)^gamma).
+
+    Detached focal weighting (Lin et al. 2017, weight-only variant): fitted
+    tokens (p -> 1) contribute ~zero loss AND gradient, so optimization
+    concentrates on the unfit ones. Exists for from-scratch SFT on
+    template-heavy corpora: a KEGG reasoning span is ~250 deterministic
+    template tokens plus ~4 input-dependent ones, and with plain mean-CE the
+    informative gradient is ~1.5% of the batch signal — measured stuck at
+    chance for 1800 steps at bench scale while val loss read 0.009
+    (tools/diagnose_quality.py, r5). The weighted MEAN (not sum) keeps the
+    step size on the laggards constant as the easy mass fits. gamma=0
+    reduces exactly to mean CE. The reference has no counterpart (it
+    finetunes pretrained towers where the template is already fit).
+    """
+    ce = -logps
+    p = jnp.exp(jnp.minimum(logps, 0.0))
+    w = jax.lax.stop_gradient((1.0 - p) ** gamma) * valid
+    return (w * ce).sum() / jnp.maximum(w.sum(), 1e-6)
+
+
+def decoder_lm_loss_focal(hidden, embedding, labels, gamma,
+                          ignore_index=-100, chunk: int = DEFAULT_CHUNK,
+                          need_embedding_grad: bool = False):
+    """Focal-weighted variant of decoder_lm_loss (same shift semantics)."""
+    b, t, hdim = hidden.shape
+    h = hidden[:, :-1].reshape(-1, hdim)
+    y = labels[:, 1:].reshape(-1)
+    valid = (y != ignore_index).astype(jnp.float32)
+    logps = chunked_token_logps(h, embedding, jnp.where(y == ignore_index, 0, y),
+                                chunk, need_embedding_grad)
+    return _focal_weighted_mean(logps, valid, gamma)
+
+
+def decoder_lm_loss_focal_gathered(hidden, embedding, positions, targets,
+                                   valid, gamma, chunk: int = DEFAULT_CHUNK,
+                                   need_embedding_grad: bool = False):
+    """Focal-weighted variant of decoder_lm_loss_gathered."""
+    b, t, hdim = hidden.shape
+    h = jnp.take_along_axis(hidden, positions[..., None].astype(jnp.int32),
+                            axis=1)                                 # [B,K,H]
+    logps = chunked_token_logps(h.reshape(-1, hdim), embedding,
+                                targets.reshape(-1), chunk,
+                                need_embedding_grad)
+    return _focal_weighted_mean(logps, valid.reshape(-1).astype(jnp.float32),
+                                gamma)

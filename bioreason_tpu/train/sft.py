@@ -129,7 +129,8 @@ class SFTTrainer:
                 train_encoder=not self.cfg.freeze_encoder,
                 train_embeddings=self.cfg.lora is None,
                 lora_dropout_rng=rng if lora_rate > 0.0 else None,
-                lora_dropout_rate=lora_rate)
+                lora_dropout_rate=lora_rate,
+                focal_gamma=self.cfg.focal_gamma)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(train_leaves)

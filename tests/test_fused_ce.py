@@ -190,3 +190,59 @@ class TestSaveLogits:
         assert np.isfinite(float(loss))
         gnorm = jax.tree.reduce(lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0)
         assert gnorm > 0
+
+
+class TestFocalLoss:
+    """Detached focal weighting (ops/fused_ce.py:_focal_weighted_mean)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(0)
+        b, t, h, v = 2, 16, 8, 32
+        hidden = jnp.asarray(rng.normal(size=(b, t, h)), jnp.float32)
+        emb = jnp.asarray(rng.normal(size=(v, h)), jnp.float32)
+        labels = np.asarray(rng.integers(0, v, (b, t)), np.int32)
+        labels[:, :5] = -100
+        return hidden, emb, jnp.asarray(labels)
+
+    def test_gamma_zero_equals_mean_ce(self):
+        from bioreason_tpu.ops.fused_ce import decoder_lm_loss, decoder_lm_loss_focal
+        hidden, emb, labels = self._setup()
+        plain = float(decoder_lm_loss(hidden, emb, labels))
+        focal = float(decoder_lm_loss_focal(hidden, emb, labels, 0.0))
+        assert abs(plain - focal) < 1e-5
+
+    def test_gathered_matches_dense(self):
+        from bioreason_tpu.ops.fused_ce import (decoder_lm_loss_focal,
+                                                decoder_lm_loss_focal_gathered,
+                                                gather_label_positions)
+        hidden, emb, labels = self._setup()
+        pos, tgt, val = gather_label_positions(np.asarray(labels))
+        for gamma in (0.0, 2.0):
+            dense = float(decoder_lm_loss_focal(hidden, emb, labels, gamma))
+            gath = float(decoder_lm_loss_focal_gathered(
+                hidden, emb, jnp.asarray(pos), jnp.asarray(tgt),
+                jnp.asarray(val), gamma))
+            assert abs(dense - gath) < 1e-4, (gamma, dense, gath)
+
+    def test_downweights_fit_tokens(self):
+        """A token the model already predicts (p ~ 1) must carry ~zero
+        gradient under gamma > 0, while unfit tokens keep theirs."""
+        from bioreason_tpu.ops.fused_ce import decoder_lm_loss_focal
+        v, h = 8, 8
+        emb = jnp.eye(v, h, dtype=jnp.float32) * 10.0
+        labels = jnp.asarray([[0, 1, 2]], jnp.int32)  # predicts 1 then 2
+        # hidden[0] aligned with emb[1] -> token 1 fit; hidden[1] orthogonal
+        hidden = jnp.asarray([[[0, 10, 0, 0, 0, 0, 0, 0],
+                               [0, 0, 0, 0, 0, 0, 0, 1e-3],
+                               [0, 0, 0, 0, 0, 0, 0, 0]]], jnp.float32)
+        g = jax.grad(lambda hh: decoder_lm_loss_focal(hh, emb, labels, 2.0))(hidden)
+        g0 = float(jnp.abs(g[0, 0]).sum())   # predicts fit token 1
+        g1 = float(jnp.abs(g[0, 1]).sum())   # predicts unfit token 2
+        assert g1 > 10 * max(g0, 1e-12), (g0, g1)
+
+    def test_embedding_grad_flows(self):
+        from bioreason_tpu.ops.fused_ce import decoder_lm_loss_focal
+        hidden, emb, labels = self._setup()
+        g = jax.grad(lambda e: decoder_lm_loss_focal(
+            hidden, e, labels, 2.0, need_embedding_grad=True))(emb)
+        assert float(jnp.abs(g).sum()) > 0.0

@@ -54,6 +54,16 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--learning_rate", type=float, default=1e-3)
+    ap.add_argument("--focal_gamma", type=float, default=0.0)
+    ap.add_argument("--attention", default=None,
+                    help="override BOTH towers' attention_impl (xla|pallas). "
+                         "bench presets resolve 'auto' to the Pallas flash "
+                         "kernels on TPU; 'xla' isolates whether the kernel "
+                         "(vs optimization) blocks the DNA-dependent tokens")
+    ap.add_argument("--dtype", default=None,
+                    help="override BOTH towers' compute dtype (e.g. bfloat16 "
+                         "on the tiny preset isolates whether bf16 rounding "
+                         "erases the informative-token signal at bench scale)")
     ap.add_argument("--probe_every", type=int, default=100)
     ap.add_argument("--probe_n", type=int, default=64)
     ap.add_argument("--supervise_eos", action="store_true", default=True)
@@ -105,6 +115,15 @@ def main(argv=None):
     else:
         dec = DecoderConfig.qwen3_0_6b(vocab_size=tok.vocab_size)
         enc = EncoderConfig.nt_v2_50m()
+    if args.dtype or args.attention:
+        import dataclasses
+        over = {}
+        if args.dtype:
+            over["dtype"] = args.dtype
+        if args.attention:
+            over["attention_impl"] = args.attention
+        dec = dataclasses.replace(dec, **over)
+        enc = dataclasses.replace(enc, **over)
     fusion = FusionConfig(decoder=dec, encoder=enc,
                           dna_pad_token_id=tok.dna_pad_id,
                           max_length_text=512, max_length_dna=max_len_dna)
@@ -120,7 +139,8 @@ def main(argv=None):
                     optim=OptimConfig(learning_rate=args.learning_rate,
                                       total_steps=args.steps,
                                       warmup_ratio=0.03),
-                    lora=None, freeze_encoder=False, seed=args.seed)
+                    lora=None, freeze_encoder=False,
+                    focal_gamma=args.focal_gamma, seed=args.seed)
     mesh = make_mesh(MeshConfig(data=1)) if args.cpu_devices <= 1 else \
         make_mesh(MeshConfig(data=args.cpu_devices))
     trainer = SFTTrainer(fusion, cfg, mesh=mesh)
