@@ -72,13 +72,22 @@ def partition_rules_fusion(pp: bool = False) -> Rules:
     """pp=True: the decoder's stacked [L, ...] layer params shard one
     contiguous GPipe STAGE per device on 'model' (leading layer axis)
     instead of tensor-parallel column/row splits — required by
-    parallel/pp.pp_decoder_layers' shard_map in_specs."""
+    parallel/pp.pp_decoder_layers' shard_map in_specs.
+
+    The embed table is REPLICATED under pp (was P(None,'fsdp')): a
+    hidden-sharded table makes the lookup's output hidden-sharded while the
+    pipeline's shard_map wants it batch-sharded, and GSPMD resolves that
+    reshard by involuntary full rematerialization (the r4 dryrun warning on
+    `gather`, MULTICHIP_r04.json tail). Measured on the 8-dev CPU mesh A/B
+    (r5): 2 involuntary-remat warnings -> 0, identical loss, step 1468 ->
+    1429 ms (see BENCHMARKS.md PP paragraph). With a replicated table the
+    gather is local and the batch slice is free."""
     decoder_rules = (
         [(re.escape("decoder/") + r"layers/.*", P("model"))] if pp
         else partition_rules_decoder("decoder/"))
     return (
         decoder_rules
-        + ([(re.escape("decoder/") + r"embed/embedding$", P(None, "fsdp")),
+        + ([(re.escape("decoder/") + r"embed/embedding$", P()),
             (re.escape("decoder/") + r"lm_head/kernel$", P("fsdp", None))]
            if pp else [])
         + partition_rules_encoder("encoder/")
