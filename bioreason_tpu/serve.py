@@ -40,6 +40,24 @@ def _bucket(n: int, multiple: int = 128) -> int:
     return ((max(n, 1) + multiple - 1) // multiple) * multiple
 
 
+def _parse_tiers(spec: Optional[str]):
+    """'96x640,40x2048' -> [(96, 640), (40, 2048)], sorted by depth.
+
+    KV depth classes for continuous serving (see InferenceServer docstring):
+    each class is a ContinuousBatcher pool of `cap` slots x `len` prompt
+    tokens; requests route to the shallowest class that fits. HBM scales
+    with sum(cap_i * (len_i + max_new)) instead of C * (P_max + max_new)."""
+    if not spec:
+        return None
+    tiers = []
+    for part in spec.split(","):
+        cap, _, mlen = part.strip().partition("x")
+        tiers.append((int(cap), int(mlen)))
+    if not tiers:
+        return None
+    return sorted(tiers, key=lambda t: t[1])
+
+
 class InferenceServer:
     def __init__(self, params: Dict, fusion_cfg: FusionConfig,
                  processor: BioProcessor,
@@ -48,7 +66,7 @@ class InferenceServer:
                  max_new_tokens: int = 256, greedy_default: bool = False,
                  continuous: bool = False, slot_len: int = 2048,
                  guided_regex: Optional[str] = None, kv_int8: bool = False,
-                 decode_window: int = 1):
+                 decode_window: int = 1, tiers: Optional[str] = None):
         """`continuous=True` switches from window micro-batching to the
         vLLM-style slot scheduler (generate/continuous.py): requests join
         the running decode at token boundaries instead of waiting for the
@@ -59,7 +77,18 @@ class InferenceServer:
         `guided_regex`: server-level constrained-decoding pattern (vLLM
         guided decoding equivalent, generate/guided.py) applied to every
         request; micro-batch mode additionally honors a per-request
-        "guided_regex" field (requests are grouped by pattern per batch)."""
+        "guided_regex" field (requests are grouped by pattern per batch).
+
+        `tiers`: continuous-mode KV DEPTH CLASSES — "CAPxLEN,CAPxLEN,..."
+        (e.g. "96x640,40x2048") builds one ContinuousBatcher pool per class
+        and routes each request to the shallowest class whose prompt depth
+        fits. The vLLM counterpart is paged KV (the reference inherits it
+        via grpo_config.py:230-258); fixed [C,P_max] pools strand
+        HBM ∝ C·P_max on short prompts and hard-cap capacity (the r4 wall:
+        128 slots at 15.75 GB). Depth classes are the TPU-friendly middle
+        ground: static shapes per pool (no per-token page tables in the
+        kernel hot path), capacity >128 at the same HBM for mixed loads.
+        Overrides max_batch/slot_len when set."""
         self.params = params
         self.cfg = fusion_cfg
         self.processor = processor
@@ -71,6 +100,7 @@ class InferenceServer:
         self.continuous = continuous
         self.slot_len = slot_len
         self.kv_int8 = kv_int8
+        self.tiers = _parse_tiers(tiers)
         # decode steps per host round trip in continuous mode: >1 amortizes
         # the scheduling sync over k tokens (throughput) at the cost of up
         # to k-1 steps of admission latency for queued requests
@@ -122,21 +152,33 @@ class InferenceServer:
 
     def _continuous_loop(self):
         from bioreason_tpu.generate.continuous import ContinuousBatcher, Request
-        cb = ContinuousBatcher(self.params, self.cfg,
-                               eos_token_id=self.processor.text_tokenizer.eos_token_id,
-                               capacity=self.max_batch, max_len=self.slot_len,
-                               max_new=self.max_new_tokens,
-                               sampling=self.sampling,
-                               guided=self._spec_for(self.guided_regex),
-                               kv_int8=self.kv_int8)
+        tier_shapes = self.tiers or [(self.max_batch, self.slot_len)]
+        cbs = [ContinuousBatcher(self.params, self.cfg,
+                                 eos_token_id=self.processor.text_tokenizer.eos_token_id,
+                                 capacity=cap, max_len=mlen,
+                                 max_new=self.max_new_tokens,
+                                 sampling=self.sampling,
+                                 guided=self._spec_for(self.guided_regex),
+                                 kv_int8=self.kv_int8)
+               for cap, mlen in tier_shapes]
         # startup precompile: the decode window (hit immediately and shared
         # by all requests). Admission shapes depend on request prompt widths
         # and compile lazily; servers with a known width profile can call
         # cb.warmup(prompt_widths=[...]) for full vLLM-style precompile.
-        cb.warmup([], windows=(self.decode_window,))
-        pending: List[Any] = []
+        for cb in cbs:
+            cb.warmup([], windows=(self.decode_window,))
+        pending: Dict[int, List[Any]] = {i: [] for i in range(len(cbs))}
         rid = 0
         by_rid: Dict[int, Dict[str, Any]] = {}
+
+        def route(r) -> int:
+            """Shallowest depth class whose prompt pool fits this prompt."""
+            plen = r.input_ids.shape[1]
+            for i, cb in enumerate(cbs):
+                if plen <= cb.max_len:
+                    return i
+            raise ValueError(f"prompt length {plen} exceeds every tier "
+                             f"({[cb.max_len for cb in cbs]})")
 
         def to_request(req: Dict[str, Any]):
             nonlocal rid
@@ -175,24 +217,29 @@ class InferenceServer:
                 except queue.Empty:
                     break
                 try:
-                    pending.append(to_request(req))
+                    r = to_request(req)
+                    pending[route(r)].append(r)
                 except Exception as e:       # bad request: fail it, keep serving
                     req["error"] = str(e)
                     req["event"].set()
             try:
-                for r in cb.admit_many(pending):    # batched shape-grouped prefill
-                    if r.done:
-                        deliver(r)
-                for r in (cb.step_window(self.decode_window)
-                          if self.decode_window > 1 else cb.step()):
-                    deliver(r)
+                for i, cb in enumerate(cbs):
+                    for r in cb.admit_many(pending[i]):   # shape-grouped prefill
+                        if r.done:
+                            deliver(r)
+                    if cb.active.any():
+                        for r in (cb.step_window(self.decode_window)
+                                  if self.decode_window > 1 else cb.step()):
+                            deliver(r)
             except Exception as e:                       # pragma: no cover
                 for r in list(by_rid.values()):
                     r["error"] = str(e)
                     r["event"].set()
                 by_rid.clear()
-                pending.clear()
-            if not cb.active.any() and not pending:
+                for lst in pending.values():
+                    lst.clear()
+            if (not any(cb.active.any() for cb in cbs)
+                    and not any(pending.values())):
                 time.sleep(0.005)
 
     def _spec_for(self, pattern: Optional[str]):
@@ -345,6 +392,11 @@ def main(argv=None):
                         "decode stays weight-only int8")
     p.add_argument("--slot_len", type=int, default=2048,
                    help="per-slot KV length (continuous mode)")
+    p.add_argument("--tiers", default=None,
+                   help="continuous-mode KV depth classes 'CAPxLEN,CAPxLEN' "
+                        "(e.g. '96x640,40x2048'): per-class slot pools with "
+                        "length-based routing — capacity beyond one deep "
+                        "pool at the same HBM (vLLM paged-KV role)")
     p.add_argument("--decode_window", type=int, default=1,
                    help="continuous mode: decode steps per host sync "
                         "(throughput lever; adds <=N-1 steps of admission "
@@ -391,7 +443,7 @@ def main(argv=None):
     server = InferenceServer(params, cfg, proc, max_batch=args.max_batch,
                              max_new_tokens=args.max_new_tokens,
                              continuous=args.continuous,
-                             slot_len=args.slot_len,
+                             slot_len=args.slot_len, tiers=args.tiers,
                              guided_regex=args.guided_regex,
                              kv_int8=args.kv_int8,
                              decode_window=args.decode_window).start()

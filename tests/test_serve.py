@@ -166,3 +166,53 @@ class TestGuidedServing:
                              guided_regex=r"(yes|no)")
         finally:
             srv.stop()
+
+
+class TestTieredServing:
+    def test_tiers_route_and_match_micro_batch(self):
+        """KV depth classes (serve.py:_parse_tiers): short and long prompts
+        route to different ContinuousBatcher pools; greedy completions match
+        the micro-batch server on BOTH tiers."""
+        tok = ByteTextTokenizer()
+        cfg = FusionConfig.tiny(text_vocab=tok.vocab_size,
+                                dna_pad_token_id=tok.dna_pad_id)
+        params = init_fusion(jax.random.PRNGKey(0), cfg)
+        proc = BioProcessor(tok, KmerTokenizer())
+        short_item = dict(ITEM)
+        long_item = {**ITEM,
+                     "question": "Which KEGG pathway is most likely disrupted "
+                                 "by this variant, considering regulatory "
+                                 "context and conservation? " * 4}
+        micro = InferenceServer(params, cfg, proc,
+                                sampling=SamplingConfig(max_new_tokens=8),
+                                max_new_tokens=8, greedy_default=True).start()
+        tiered = InferenceServer(params, cfg, proc,
+                                 sampling=SamplingConfig(max_new_tokens=8),
+                                 max_new_tokens=8, greedy_default=True,
+                                 continuous=True,
+                                 tiers="2x256,2x768").start()
+        try:
+            want_s = micro.generate(dict(short_item), max_new_tokens=8)
+            want_l = micro.generate(dict(long_item), max_new_tokens=8)
+            got = [None, None]
+
+            def call(i, item):
+                got[i] = tiered.generate(dict(item), max_new_tokens=8)
+
+            threads = [threading.Thread(target=call, args=(0, short_item)),
+                       threading.Thread(target=call, args=(1, long_item))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert got[0]["completion"] == want_s["completion"]
+            assert got[1]["completion"] == want_l["completion"]
+        finally:
+            micro.stop()
+            tiered.stop()
+
+    def test_parse_tiers(self):
+        from bioreason_tpu.serve import _parse_tiers
+        assert _parse_tiers(None) is None
+        assert _parse_tiers("96x640,40x2048") == [(96, 640), (40, 2048)]
+        assert _parse_tiers("40x2048,96x640") == [(96, 640), (40, 2048)]
