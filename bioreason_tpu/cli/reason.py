@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--decoder", default="qwen3-0.6b", choices=sorted(DECODER_PRESETS))
     p.add_argument("--encoder", default="nt-500m", choices=sorted(ENCODER_PRESETS))
     p.add_argument("--sft_checkpoint", default=None)
+    p.add_argument("--dtype", default=None,
+                   help="override BOTH towers' compute dtype (must match the "
+                        "SFT stage when continuing from --sft_checkpoint "
+                        "trained with a non-default dtype)")
     p.add_argument("--hf_llm_dir", default=None,
                    help="local HF Qwen3 checkpoint dir (weights + tokenizer); "
                         "overrides --decoder (reference dna_llm.py:64-74)")
@@ -101,6 +105,13 @@ def main(argv=None):
             encoder=ENCODER_PRESETS[args.encoder](),
             dna_pad_token_id=tok.dna_pad_id,
             max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+    if args.dtype:
+        import dataclasses as _dc
+        fusion_cfg = _dc.replace(
+            fusion_cfg,
+            decoder=_dc.replace(fusion_cfg.decoder, dtype=args.dtype),
+            **({"encoder": _dc.replace(fusion_cfg.encoder, dtype=args.dtype)}
+               if fusion_cfg.encoder is not None else {}))
 
     lora_cfg = LoRAConfig(r=args.lora_r, alpha=args.lora_alpha)
     params = None

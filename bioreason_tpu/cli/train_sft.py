@@ -88,6 +88,11 @@ def main(argv=None):
                         "leaving headroom for a GRPO stage to improve)")
     p.add_argument("--probe_n", type=int, default=64,
                    help="val examples per probe")
+    p.add_argument("--dtype", default=None,
+                   help="override BOTH towers' compute dtype (e.g. float32 "
+                        "for from-scratch training if bf16 blocks the "
+                        "informative-token signal — see "
+                        "tools/diagnose_quality.py r5 experiments)")
     p.add_argument("--focal_gamma", type=float, default=0.0,
                    help="detached focal CE weighting on the train loss "
                         "(ops/fused_ce.py): >0 concentrates gradient on "
@@ -166,6 +171,13 @@ def main(argv=None):
             encoder=enc_cfg, hyena=hyena_cfg, encoder_kind=encoder_kind,
             dna_pad_token_id=tok.dna_pad_id,
             max_length_text=args.max_length_text, max_length_dna=args.max_length_dna)
+    if args.dtype:
+        import dataclasses as _dc
+        fusion_cfg = _dc.replace(
+            fusion_cfg,
+            decoder=_dc.replace(fusion_cfg.decoder, dtype=args.dtype),
+            **({"encoder": _dc.replace(fusion_cfg.encoder, dtype=args.dtype)}
+               if fusion_cfg.encoder is not None else {}))
     dna_impl = args.dna_attention or ("sp" if args.sp_dna else None)
     if dna_impl:
         import dataclasses

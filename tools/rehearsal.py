@@ -93,6 +93,10 @@ def main(argv=None):
                          "task is a single-base substitution, which 6-mer "
                          "tokens turn into sparse unseen-pair memorization")
     ap.add_argument("--sft_epochs", type=int, default=0, help="0 = default")
+    ap.add_argument("--dtype", default=None,
+                    help="override tower compute dtype for BOTH stages and "
+                         "the evals (forwarded to train_sft/reason; e.g. "
+                         "float32 if bf16 blocks from-scratch learning)")
     ap.add_argument("--grpo_steps", type=int, default=0, help="0 = default")
     ap.add_argument("--work_dir", default="/tmp/rehearsal")
     ap.add_argument("--out", default=None,
@@ -181,6 +185,8 @@ def main(argv=None):
         "--learning_rate", str(lr), "--num_epochs", str(sft_epochs),
         "--eval_every", str(eval_every), "--keep_top_k", "2",
         "--checkpoint_dir", sft_ckpt_dir, "--log_dir", sft_logs]
+    if args.dtype:
+        sft_argv += ["--dtype", args.dtype]
     if args.cpu_devices:
         sft_argv += ["--cpu_devices", str(args.cpu_devices)]
     print(f"[rehearsal] SFT: {' '.join(sft_argv)}")
@@ -211,6 +217,12 @@ def main(argv=None):
         encoder=ENCODER_PRESETS[encoder](),
         dna_pad_token_id=tok.dna_pad_id,
         max_length_text=max_len_text, max_length_dna=max_len_dna)
+    if args.dtype:
+        import dataclasses as _dc
+        fusion_cfg = _dc.replace(
+            fusion_cfg,
+            decoder=_dc.replace(fusion_cfg.decoder, dtype=args.dtype),
+            encoder=_dc.replace(fusion_cfg.encoder, dtype=args.dtype))
     # identical split to both CLIs (load_items -> split_dataset(seed))
     train_items, val_items, test_items = load_items(
         "kegg", corpus_dir, 0, 0, args.seed)
@@ -252,6 +264,8 @@ def main(argv=None):
         "--max_completion_length", str(max_new),
         "--lora_r", "32", "--lora_alpha", "64",
         "--checkpoint_dir", grpo_ckpt_dir, "--log_dir", grpo_logs]
+    if args.dtype:
+        grpo_argv += ["--dtype", args.dtype]
     # GRPO batch = prompts*G; reuse --batch_size for prompts-per-step * G
     grpo_argv[grpo_argv.index("--batch_size") + 1] = str(
         8 * (2 if not tiny else 1))
