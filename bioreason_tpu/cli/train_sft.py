@@ -277,7 +277,15 @@ def main(argv=None):
                 val_loss = float(np.mean(val_losses))
                 logger.log({"val/loss": val_loss}, step=step)
                 if keeper is not None:
-                    kept = keeper.update(val_loss, trainer.save, step)
+                    # async: the loop pays an HBM snapshot copy; the host
+                    # gather + orbax write overlap the (tunnel-idle) steps.
+                    # Safe with the keeper's stale-dir deletion because
+                    # AsyncSaver joins the in-flight write before enqueuing
+                    # the next one (train/checkpoint.py:53-66) — r4 measured
+                    # the blocking full-state saves as the SFT wall
+                    # (minutes per save at 0.6B full-finetune state).
+                    kept = keeper.update(
+                        val_loss, lambda p: trainer.save(p, block=False), step)
                     if kept:
                         print(f"val_loss {val_loss:.4f} in "
                               f"top-{args.keep_top_k}: saved {kept}")
