@@ -53,6 +53,12 @@ def main(argv=None):
     ap.add_argument("--no_pipeline", action="store_true",
                     help="use the serial admit/step_window loop instead of "
                          "run_pipelined (one window always in flight)")
+    ap.add_argument("--tiers", default=None,
+                    help="KV depth classes 'CAPxLEN,CAPxLEN' (serve.py "
+                         "--tiers): per-class slot pools + length-routed "
+                         "mixed-prompt churn. Reports total capacity and "
+                         "pool HBM vs the single --capacity x --max_len "
+                         "pool (VERDICT r4 #5: capacity >128 at fixed HBM)")
     args = ap.parse_args(argv)
     if not args.requests:
         args.requests = 3 * args.capacity
@@ -90,21 +96,80 @@ def main(argv=None):
     npr = np.random.default_rng(0)
     prompts = {}
 
-    def make_request(rid, max_new):
-        uid = rid // args.shared        # --shared N: N requests per prompt
+    def make_request(rid, max_new, p_text=P_TEXT):
+        uid = (rid // args.shared, p_text)  # --shared N: N requests per prompt
         if uid not in prompts:
-            ids = npr.integers(0, 150000, (1, P_TEXT)).astype(np.int32)
+            ids = npr.integers(0, 150000, (1, p_text)).astype(np.int32)
             ids[0, 1:1 + L_DNA] = cfg.dna_pad_token_id
             dna = npr.integers(6, 4102, (1, L_DNA)).astype(np.int32)
             prompts[uid] = (ids, dna)
         ids, dna = prompts[uid]
-        return Request(rid, ids, np.ones((1, P_TEXT), np.int32),
+        return Request(rid, ids, np.ones((1, p_text), np.int32),
                        dna, np.ones((1, L_DNA), np.int32),
                        max_new_tokens=max_new)
 
     # mixed completion lengths: the serving-realistic churn that static
     # batching can't fill (short requests free slots for the queue)
     lengths = [args.max_new, args.max_new // 2, args.max_new // 4]
+
+    def kv_tok_bytes():
+        d = cfg.decoder
+        per = d.num_layers * d.num_kv_heads * d.head_dim * 2   # k+v
+        return per * (1 if args.kv == "int8" else 2)
+
+    if args.tiers:
+        from bioreason_tpu.serve import _parse_tiers
+        tiers = _parse_tiers(args.tiers)
+        cbs = [ContinuousBatcher(
+                   params, cfg, eos_token_id=-1, capacity=cap,
+                   max_len=mlen, max_new=args.max_new, prompt_bucket=128,
+                   kv_int8=(args.kv == "int8"),
+                   sampling=SamplingConfig(temperature=0.6, top_p=0.95, top_k=20))
+               for cap, mlen in tiers]
+        total_cap = sum(c for c, _ in tiers)
+        pool_b = sum(c * (l + args.max_new) for c, l in tiers) * kv_tok_bytes()
+        base_b = args.capacity * (args.max_len + args.max_new) * kv_tok_bytes()
+        print(f"tiers {tiers}: capacity {total_cap} "
+              f"(baseline {args.capacity}), pool HBM "
+              f"{pool_b/2**30:.2f} GiB vs baseline {base_b/2**30:.2f} GiB",
+              file=__import__('sys').stderr)
+        # per-tier prompt widths: fill each class's pool proportionally
+        p_widths = [max(128, (mlen // 128) * 128 - 128) for _, mlen in tiers]
+        for cb, pw in zip(cbs, p_widths):
+            cb.warmup([pw], dna_shapes=((1, L_DNA),), windows=(args.window,))
+
+        def run_tiered():
+            reqs = []
+            i = 0
+            for t, (cap, _) in enumerate(tiers):
+                for _ in range(args.requests * cap // total_cap):
+                    reqs.append((t, make_request(
+                        i, lengths[i % len(lengths)], p_text=p_widths[t])))
+                    i += 1
+            pending = {t: [r for tt, r in reqs if tt == t]
+                       for t in range(len(tiers))}
+            done = []
+            while any(pending.values()) or any(cb.active.any() for cb in cbs):
+                for t, cb in enumerate(cbs):
+                    done.extend(r for r in cb.admit_many(pending[t]) if r.done)
+                    if cb.active.any():
+                        done.extend(cb.step_window(args.window))
+            return sum(len(r.tokens) for r in done)
+
+        run_tiered()
+        t0 = time.perf_counter()
+        total = run_tiered() + run_tiered()
+        dt = time.perf_counter() - t0
+        tokens_per_sec = total / dt
+        print(json.dumps({
+            "metric": "serving_tokens_per_sec_per_chip_tiered",
+            "value": round(tokens_per_sec, 1),
+            "unit": "tokens/s",
+            "capacity": total_cap,
+            "pool_hbm_gib": round(pool_b / 2**30, 2),
+            "vs_baseline": round(tokens_per_sec / 5000.0, 3),
+        }))
+        return
 
     cb = ContinuousBatcher(
         params, cfg, eos_token_id=-1, capacity=args.capacity,
