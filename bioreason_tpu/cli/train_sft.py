@@ -254,6 +254,7 @@ def main(argv=None):
 
     step = 0
     stop_early = False
+    last_kept_val = None
     prof = contextlib.nullcontext()
     from bioreason_tpu.train.dataflow import prefetch
     for batch in prefetch(batch_iterator(train_items, collate, args.batch_size,
@@ -277,18 +278,20 @@ def main(argv=None):
                 val_loss = float(np.mean(val_losses))
                 logger.log({"val/loss": val_loss}, step=step)
                 if keeper is not None:
-                    # async: the loop pays an HBM snapshot copy; the host
-                    # gather + orbax write overlap the (tunnel-idle) steps.
-                    # Safe with the keeper's stale-dir deletion because
-                    # AsyncSaver joins the in-flight write before enqueuing
-                    # the next one (train/checkpoint.py:53-66) — r4 measured
-                    # the blocking full-state saves as the SFT wall
-                    # (minutes per save at 0.6B full-finetune state).
-                    kept = keeper.update(
-                        val_loss, lambda p: trainer.save(p, block=False), step)
-                    if kept:
-                        print(f"val_loss {val_loss:.4f} in "
-                              f"top-{args.keep_top_k}: saved {kept}")
+                    # blocking saves (an async HBM snapshot of the full-
+                    # finetune params+opt state is +7.8 GB at 0.6B — measured
+                    # RESOURCE_EXHAUSTED on the 15.75 GB v5e, r5), but
+                    # rate-limited: r4 measured minutes per orbax write on
+                    # the single host core, and early val losses improve
+                    # every eval — so only save on a >=25% relative
+                    # improvement over the best kept value. Top-k retention
+                    # semantics are unchanged for the saves that do happen.
+                    if last_kept_val is None or val_loss < 0.75 * last_kept_val:
+                        kept = keeper.update(val_loss, trainer.save, step)
+                        if kept:
+                            last_kept_val = val_loss
+                            print(f"val_loss {val_loss:.4f} in "
+                                  f"top-{args.keep_top_k}: saved {kept}")
             if probe_markers and val_items:
                 pm = teacher_forced_probe(
                     trainer.params, fusion_cfg, proc,
@@ -307,6 +310,13 @@ def main(argv=None):
                     print(f"probe accuracies all >= {args.stop_probe_acc}: "
                           f"stopping at step {step}")
                     stop_early = True
+                    if keeper is not None and val_losses:
+                        # the stopping step IS the probe-validated model;
+                        # bypass the save rate limiter so best-k includes it
+                        kept = keeper.update(val_loss, trainer.save, step)
+                        if kept:
+                            print(f"stop-step val_loss {val_loss:.4f} "
+                                  f"saved {kept}")
         if args.sample_every and step % args.sample_every == 0:
             from bioreason_tpu.data.chat_template import render_chat
             from bioreason_tpu.train.eval import _prompt_messages
