@@ -287,7 +287,10 @@ def main(argv=None):
                     # improvement over the best kept value. Top-k retention
                     # semantics are unchanged for the saves that do happen.
                     if last_kept_val is None or val_loss < 0.75 * last_kept_val:
-                        kept = keeper.update(val_loss, trainer.save, step)
+                        kept = keeper.update(
+                            val_loss,
+                            lambda pth: trainer.save(pth, params_only=True),
+                            step)
                         if kept:
                             last_kept_val = val_loss
                             print(f"val_loss {val_loss:.4f} in "
@@ -313,7 +316,10 @@ def main(argv=None):
                     if keeper is not None and val_losses:
                         # the stopping step IS the probe-validated model;
                         # bypass the save rate limiter so best-k includes it
-                        kept = keeper.update(val_loss, trainer.save, step)
+                        kept = keeper.update(
+                            val_loss,
+                            lambda pth: trainer.save(pth, params_only=True),
+                            step)
                         if kept:
                             print(f"stop-step val_loss {val_loss:.4f} "
                                   f"saved {kept}")

@@ -227,12 +227,20 @@ class SFTTrainer:
     #    train_dna_qwen.py:975-982; here params + optimizer + step) ---------
 
     def save(self, path: str, extra_metadata: Optional[Dict] = None,
-             block: bool = True):
+             block: bool = True, params_only: bool = False):
         """block=False hands the write to a background AsyncSaver: the loop
         only pays for an on-device snapshot copy (donation-safe); call
-        `finish_saves()` (or the next save) to join."""
+        `finish_saves()` (or the next save) to join.
+
+        params_only=True drops the optimizer state (keeps the {'params': …}
+        wrapper so load_checkpoint's full-state unwrap still applies) — for
+        best-k retention checkpoints, which only ever feed evals or the
+        GRPO stage (fresh optimizer): at 0.6B full-finetune this is 2.6 GB
+        instead of 7.8 GB per blocking orbax write on the single host core
+        (r5: the full-state writes were the SFT wall)."""
         from bioreason_tpu.train.checkpoint import AsyncSaver, save_checkpoint
-        state = {"params": self.params, "opt_state": self.opt_state}
+        state = ({"params": self.params} if params_only
+                 else {"params": self.params, "opt_state": self.opt_state})
         if block:
             save_checkpoint(path, state, step=self.step, stage="sft",
                             extra_metadata=extra_metadata)
