@@ -241,3 +241,38 @@ class TestAsyncCheckpoint:
         b = jax.tree.leaves(load_checkpoint(p_async, like=like))
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestProbeEarlyStopCLI:
+    def test_probe_markers_and_stop(self, tmp_path):
+        """cli.train_sft --probe_markers/--stop_probe_acc: probes log at
+        every eval, the rate-limited keeper saves params-only checkpoints,
+        and a 0.0 threshold exercises the non-stop path while focal_gamma>0
+        exercises the focal train loss."""
+        from bioreason_tpu.cli import train_sft as cli
+
+        trainer = cli.main([
+            "--decoder", "tiny", "--encoder", "tiny", "--cpu_devices", "1",
+            "--n_synthetic", "16", "--batch_size", "4", "--num_epochs", "2",
+            "--max_length_dna", "64", "--dna_kmer", "1", "--no_lora",
+            "--dna_model_finetune", "--supervise_eos", "--focal_gamma", "2",
+            "--eval_every", "2", "--keep_top_k", "1",
+            "--probe_markers", '{"answer": "Answer: "}',
+            "--stop_probe_acc", "0.0",
+            "--checkpoint_dir", str(tmp_path / "ckpt"),
+            "--log_dir", str(tmp_path / "logs")])
+        assert trainer.step > 0
+        # probe metrics logged
+        import json as _json
+        rows = [_json.loads(l) for l in
+                open(tmp_path / "logs" / "metrics.jsonl", encoding="utf-8")]
+        probe_rows = [r for r in rows if "val/probe_answer_acc" in r]
+        assert probe_rows, "probe metrics missing from the log"
+        assert all(0.0 <= r["val/probe_answer_acc"] <= 1.0 for r in probe_rows)
+        # params-only best-k checkpoint loads with a params-like tree
+        from bioreason_tpu.train.checkpoint import TopKKeeper, load_checkpoint
+        keeper = TopKKeeper(str(tmp_path / "ckpt" / "best"), k=1)
+        best = keeper.best_path()
+        assert best is not None
+        params = load_checkpoint(best, like=trainer.params)
+        assert set(params) == set(trainer.params)
