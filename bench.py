@@ -123,10 +123,14 @@ def hyena_numeric_smoke():
     ids = jnp.asarray(rng.integers(65, 85, (2, 256)), jnp.int32)
     mask = jnp.ones((2, 256), jnp.int32)
     cpu = jax.local_devices(backend="cpu")[0]
+    # the CPU oracle must pin attention_impl="xla": "auto" resolves against
+    # the default (TPU) platform even under backend="cpu" jit, and Pallas
+    # refuses to run uninterpreted on the CPU backend
+    cpu_cfg = dataclasses.replace(cfg, attention_impl="xla")
     with jax.default_device(cpu):
         params = init_hyena(jax.random.PRNGKey(0), cfg)
         want = np.asarray(jax.jit(hyena_forward, static_argnums=1,
-                                  backend="cpu")(params, cfg, ids, mask))
+                                  backend="cpu")(params, cpu_cfg, ids, mask))
     got = np.asarray(jax.jit(hyena_forward, static_argnums=1)(
         jax.device_put(params), cfg, jax.device_put(ids), jax.device_put(mask)))
     err = float(np.abs(got - want).max())

@@ -99,6 +99,11 @@ def main(argv=None):
                          "float32 if bf16 blocks from-scratch learning)")
     ap.add_argument("--grpo_steps", type=int, default=0, help="0 = default")
     ap.add_argument("--work_dir", default="/tmp/rehearsal")
+    ap.add_argument("--resume_sft", action="store_true",
+                    help="skip stage 1 and reuse the SFT checkpoints/logs "
+                         "already in work_dir (picks the best-k keeper's "
+                         "best); for recovering a run whose driver died "
+                         "after SFT converged")
     ap.add_argument("--out", default=None,
                     help="artifact path (default artifacts/rehearsal_<scale>.json)")
     ap.add_argument("--seed", type=int, default=7)
@@ -146,16 +151,19 @@ def main(argv=None):
     grpo_ckpt_dir = os.path.join(args.work_dir, "grpo_ckpt")
     sft_logs = os.path.join(args.work_dir, "sft_logs")
     grpo_logs = os.path.join(args.work_dir, "grpo_logs")
-    for d in (sft_ckpt_dir, grpo_ckpt_dir, sft_logs, grpo_logs):
+    clean = ((grpo_ckpt_dir, grpo_logs) if args.resume_sft
+             else (sft_ckpt_dir, grpo_ckpt_dir, sft_logs, grpo_logs))
+    for d in clean:
         if os.path.isdir(d):
             shutil.rmtree(d)
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", f"rehearsal_{args.scale}.json")
 
-    print(f"[rehearsal] curating {n_items} learnable items -> {corpus_dir}")
-    write_corpus(corpus_dir, n_items, args.seq_len, args.seed,
-                 fixed_positions=not args.free_positions)
+    if not (args.resume_sft and os.path.isdir(corpus_dir)):
+        print(f"[rehearsal] curating {n_items} learnable items -> {corpus_dir}")
+        write_corpus(corpus_dir, n_items, args.seq_len, args.seed,
+                     fixed_positions=not args.free_positions)
 
     import time
     t_start = time.time()
@@ -189,8 +197,12 @@ def main(argv=None):
         sft_argv += ["--dtype", args.dtype]
     if args.cpu_devices:
         sft_argv += ["--cpu_devices", str(args.cpu_devices)]
-    print(f"[rehearsal] SFT: {' '.join(sft_argv)}")
-    train_sft_cli.main(sft_argv)
+    if args.resume_sft:
+        print("[rehearsal] --resume_sft: skipping stage 1, reusing "
+              f"{sft_ckpt_dir}")
+    else:
+        print(f"[rehearsal] SFT: {' '.join(sft_argv)}")
+        train_sft_cli.main(sft_argv)
     t_sft = time.time()
 
     # ---- best-k select ----------------------------------------------------
@@ -306,7 +318,9 @@ def main(argv=None):
                     for k in ("base_acc", "half_acc", "answer_acc",
                               "span_acc")},
                 "train_loss_tail": load_curve(sft_logs, "train/loss")[-10:],
-                "wall_s": round(t_sft - t_start, 1)},
+                "wall_s": (None if args.resume_sft
+                           else round(t_sft - t_start, 1)),
+                "resumed": bool(args.resume_sft)},
         "test_accuracy_after_sft": acc_sft,
         "grpo": {"steps": grpo_steps, "num_generations": 8,
                  "reward_funcs": ["correctness", "soft_format"],
